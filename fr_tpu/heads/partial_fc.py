@@ -1,0 +1,199 @@
+"""PartialFC: class-sharded margin-softmax over a device mesh.
+
+TPU-native re-design of the reference's model-parallel classifier
+(reference nets/PartialFC.py:10-525):
+
+- the (num_classes, emd_size) class-center matrix is sharded over the 'model'
+  mesh axis (reference: row-split across NCCL ranks, nets/PartialFC.py:57-62),
+  padded to an equal split with invalid columns masked out of the softmax —
+  the reference's uneven per-rank split is replaced by pad+mask to keep all
+  shapes static under jit (SURVEY §7 hard-part 7);
+- embeddings are all-gathered over the 'model' axis (reference's custom
+  AllGatherFunc, nets/PartialFC.py:495-525 — here `lax.all_gather`, whose
+  transpose `psum_scatter` is derived automatically by AD);
+- the distributed softmax cross-entropy assembles the global max / denominator
+  / target numerator with `pmax`/`psum` over the 'model' axis (reference
+  DistCrossEntropyFunc's three all_reduces, nets/PartialFC.py:441-461);
+- negative sampling (sample_rate < 1) draws a fixed-size subset of local
+  class centers per shard per step — uniform noise with positives forced to
+  2.0, top-k, sort, searchsorted label remap (reference nets/PartialFC.py:108-118)
+  — expressed as functional gather/scatter instead of the reference's
+  optimizer-state surgery (nets/PartialFC.py:120-131).
+
+Known deliberate divergences from the reference, all for static shapes:
+- if a shard's positives exceed num_sample, the excess positives are dropped
+  (their rows hit the 1e-30 log clamp) instead of the reference's dynamic
+  `index = positive` fallback (nets/PartialFC.py:113-115);
+- classes are padded to an equal per-shard count and masked, rather than
+  unevenly split.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+
+from fr_tpu.heads.margins import get_margin_fn
+from fr_tpu.models.common import l2_normalize
+
+MASK_VALUE = -1e30  # additive logit mask for padded/invalid class columns
+
+
+@dataclasses.dataclass(frozen=True)
+class PFCConfig:
+    """Static configuration of the sharded head."""
+    num_classes: int
+    embedding_size: int
+    model_size: int              # size of the 'model' mesh axis
+    sample_rate: float = 1.0
+    margin: str = "ArcFace"      # conf.metric
+    s: float = 64.0
+    m: float = 0.5
+    mixed_precision: bool = True
+    optimizer: str = "SGD"       # 'SGD' | 'AdamW' (reference model/FR_PartialFC.py:102-109)
+
+    @property
+    def num_classes_padded(self) -> int:
+        m = self.model_size
+        return ((self.num_classes + m - 1) // m) * m
+
+    @property
+    def num_local(self) -> int:
+        return self.num_classes_padded // self.model_size
+
+    @property
+    def num_sample(self) -> int:
+        """Per-shard sampled column count (reference nets/PartialFC.py:63)."""
+        if self.sample_rate >= 1.0:
+            return self.num_local
+        return max(1, int(self.sample_rate * self.num_local))
+
+    @property
+    def sampling(self) -> bool:
+        return self.num_sample < self.num_local
+
+    def margin_fn(self) -> Callable:
+        return get_margin_fn(self.margin, self.s, self.m)
+
+
+class PFCState(struct.PyTreeNode):
+    """Head weight + its optimizer slots, class-sharded P('model', None).
+
+    The reference keeps the full per-rank weight and optimizer-state mirrors
+    as buffers and swaps sampled rows in and out of the torch optimizer
+    (nets/PartialFC.py:72-82, 280-292). Here the full sharded tensors are the
+    single source of truth and sampled-row updates are gather→update→scatter.
+    """
+    weight: jnp.ndarray                 # (num_classes_padded, emd)
+    slots: Dict[str, jnp.ndarray]       # same shape per slot
+    count: jnp.ndarray                  # scalar int32 AdamW step counter
+                                        # (reference nets/PartialFC.py:297,327)
+
+
+def init_pfc_state(key: jax.Array, cfg: PFCConfig) -> PFCState:
+    """weight ~ N(0, 0.01) (reference nets/PartialFC.py:74,84)."""
+    w = 0.01 * jax.random.normal(
+        key, (cfg.num_classes_padded, cfg.embedding_size), jnp.float32)
+    if cfg.optimizer == "SGD":
+        slots = {"momentum": jnp.zeros_like(w)}
+    elif cfg.optimizer == "AdamW":
+        slots = {"exp_avg": jnp.zeros_like(w), "exp_avg_sq": jnp.zeros_like(w)}
+    else:
+        raise ValueError(cfg.optimizer)
+    return PFCState(weight=w, slots=slots, count=jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Per-shard helpers (called inside shard_map; arrays are local shard views).
+# ---------------------------------------------------------------------------
+
+def shard_valid_mask(cfg: PFCConfig, model_idx) -> jnp.ndarray:
+    """True for real (non-padding) class rows of this shard."""
+    gidx = model_idx * cfg.num_local + jnp.arange(cfg.num_local)
+    return gidx < cfg.num_classes
+
+
+def sample_columns(cfg: PFCConfig, key: jax.Array, pos_mask: jnp.ndarray,
+                   valid: jnp.ndarray) -> jnp.ndarray:
+    """Draw num_sample sorted local class indices: positives forced in (noise
+    value 2.0), negatives by uniform top-k, padding rows excluded
+    (reference nets/PartialFC.py:108-116)."""
+    perm = jax.random.uniform(key, (cfg.num_local,))
+    perm = jnp.where(pos_mask, 2.0, perm)
+    perm = jnp.where(valid, perm, -1.0)
+    _, idx = lax.top_k(perm, cfg.num_sample)
+    return jnp.sort(idx)
+
+
+def remap_labels(cfg: PFCConfig, idx: jnp.ndarray, local_labels: jnp.ndarray,
+                 owned: jnp.ndarray) -> jnp.ndarray:
+    """Map owned local class ids onto sampled-column positions; -1 if the
+    class was not sampled / not owned (reference nets/PartialFC.py:118)."""
+    r = jnp.searchsorted(idx, jnp.where(owned, local_labels, 0))
+    r = jnp.minimum(r, cfg.num_sample - 1)
+    hit = (idx[r] == local_labels) & owned
+    return jnp.where(hit, r, -1)
+
+
+def shard_softmax_ce(cfg: PFCConfig, emb_row: jnp.ndarray,
+                     label_cols: jnp.ndarray, w_act: jnp.ndarray,
+                     col_valid: jnp.ndarray,
+                     model_axis: Optional[str]) -> jnp.ndarray:
+    """Cosine logits → margin → distributed softmax CE, per sample.
+
+    emb_row    : (N, D) L2-normalised embeddings of this data-row's samples
+    label_cols : (N,)   column index of each sample's target on THIS shard,
+                 -1 if the target lives elsewhere / was dropped
+    w_act      : (K, D) activated (sampled) class centers of this shard
+    col_valid  : (K,)   False for padding / invalid sampled columns
+    model_axis : mesh axis name for the class-sharded collectives, or None
+                 for a single-shard (dense) evaluation.
+
+    Returns per-sample loss (N,), replicated across the model axis.
+    """
+    compute = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+    ne = l2_normalize(emb_row).astype(compute)
+    nw = l2_normalize(w_act).astype(compute)
+    # (N, K) cosine logits on the MXU; accumulate f32, clamp to the exact
+    # cosine range (reference nets/PartialFC.py:198-204).
+    precision = None if cfg.mixed_precision else jax.lax.Precision.HIGHEST
+    logits = jnp.dot(ne, nw.T, preferred_element_type=jnp.float32,
+                     precision=precision)
+    logits = jnp.clip(logits.astype(jnp.float32), -1.0, 1.0)
+    logits = cfg.margin_fn()(logits, label_cols)
+    logits = jnp.where(col_valid[None, :], logits, MASK_VALUE)
+
+    # Distributed online softmax (reference nets/PartialFC.py:441-461).
+    # The max shift cancels exactly in softmax, so it carries no gradient.
+    mx = lax.stop_gradient(jnp.max(logits, axis=1, keepdims=True))
+    if model_axis is not None:
+        mx = lax.pmax(mx, model_axis)
+    ex = jnp.exp(logits - mx)
+    denom = jnp.sum(ex, axis=1)
+    if model_axis is not None:
+        denom = lax.psum(denom, model_axis)
+    has_target = label_cols >= 0
+    tgt_ex = jnp.take_along_axis(
+        ex, jnp.maximum(label_cols, 0)[:, None], axis=1)[:, 0]
+    tgt = jnp.where(has_target, tgt_ex, 0.0) / denom
+    if model_axis is not None:
+        tgt = lax.psum(tgt, model_axis)
+    return -jnp.log(jnp.clip(tgt, 1e-30, None))
+
+
+def dense_partial_fc_loss(cfg: PFCConfig, embeddings: jnp.ndarray,
+                          labels: jnp.ndarray,
+                          weight: jnp.ndarray) -> jnp.ndarray:
+    """Single-device full-softmax ground truth (num_classes columns, no
+    sampling, no sharding). Used as the numerical oracle for the sharded path
+    and as the small-scale (LFW) loss."""
+    full_valid = jnp.arange(weight.shape[0]) < cfg.num_classes
+    per_sample = shard_softmax_ce(
+        cfg, l2_normalize(embeddings.astype(jnp.float32)), labels, weight,
+        full_valid, model_axis=None)
+    return per_sample.mean()

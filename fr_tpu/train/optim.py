@@ -1,0 +1,139 @@
+"""Hand-rolled optimizers with exact torch-semantics.
+
+The encoder uses dense SGD-momentum / AdamW; the PartialFC head uses
+sampled-row (sparse) variants that gather the activated rows, update them,
+and scatter them back — the functional replacement for the reference's
+optimizer-state swap (reference nets/PartialFC.py:120-131, 317-327).
+
+torch semantics reproduced:
+- SGD: g ← g + wd·p ; buf ← mom·buf + g ; p ← p − lr·buf
+  (zero-initialised momentum buffers make the first step identical to torch's
+  buf←g bootstrap).
+- AdamW: p ← p·(1 − lr·wd) ; m ← β1·m + (1−β1)·g ; v ← β2·v + (1−β2)·g² ;
+  p ← p − lr/(1−β1ᵗ) · m / (√v/√(1−β2ᵗ) + eps).
+- global-norm clip: coef = max_norm / (‖g‖ + 1e-6), applied iff coef < 1
+  (torch clip_grad_norm_; applied to encoder grads only, max_norm=5,
+  reference model/FR_PartialFC.py:181).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Pytree = Any
+
+
+def clip_by_global_norm(grads: Pytree, max_norm: float) -> Tuple[Pytree, jnp.ndarray]:
+    leaves = jax.tree.leaves(grads)
+    total = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves))
+    coef = jnp.minimum(max_norm / (total + 1e-6), 1.0)
+    return jax.tree.map(lambda g: g * coef, grads), total
+
+
+# ---------------------------------------------------------------------------
+# Dense (encoder) updates.
+# ---------------------------------------------------------------------------
+
+def init_slots(optimizer: str, params: Pytree) -> Dict[str, Pytree]:
+    z = lambda: jax.tree.map(jnp.zeros_like, params)
+    if optimizer == "SGD":
+        return {"momentum": z()}
+    if optimizer == "AdamW":
+        return {"exp_avg": z(), "exp_avg_sq": z()}
+    raise ValueError(optimizer)
+
+
+def sgd_update(params: Pytree, grads: Pytree, slots: Dict[str, Pytree],
+               lr, wd: float, mom: float) -> Tuple[Pytree, Dict[str, Pytree]]:
+    def upd(p, g, b):
+        g = g + wd * p
+        b = mom * b + g
+        return p - lr * b, b
+    out = jax.tree.map(upd, params, grads, slots["momentum"])
+    new_p = jax.tree.map(lambda t: t[0], out, is_leaf=lambda x: isinstance(x, tuple))
+    new_b = jax.tree.map(lambda t: t[1], out, is_leaf=lambda x: isinstance(x, tuple))
+    return new_p, {"momentum": new_b}
+
+
+def adamw_update(params: Pytree, grads: Pytree, slots: Dict[str, Pytree],
+                 lr, wd: float, b1: float, b2: float, eps: float,
+                 count) -> Tuple[Pytree, Dict[str, Pytree]]:
+    t = count.astype(jnp.float32)
+    bc1 = 1.0 - b1 ** t
+    bc2 = 1.0 - b2 ** t
+
+    def upd(p, g, m, v):
+        p = p * (1.0 - lr * wd)
+        m = b1 * m + (1.0 - b1) * g
+        v = b2 * v + (1.0 - b2) * jnp.square(g)
+        p = p - (lr / bc1) * m / (jnp.sqrt(v) / jnp.sqrt(bc2) + eps)
+        return p, m, v
+
+    out = jax.tree.map(upd, params, grads, slots["exp_avg"], slots["exp_avg_sq"])
+    pick = lambda i: jax.tree.map(lambda t: t[i], out,
+                                  is_leaf=lambda x: isinstance(x, tuple))
+    return pick(0), {"exp_avg": pick(1), "exp_avg_sq": pick(2)}
+
+
+def encoder_update(optimizer: str, conf, params, grads, slots, lr, count):
+    """Dispatch by conf.optimizer (reference model/FR_PartialFC.py:437-449)."""
+    if optimizer == "SGD":
+        return sgd_update(params, grads, slots, lr, conf.wd, conf.mom)
+    if optimizer == "AdamW":
+        b1, b2 = conf.betas
+        return adamw_update(params, grads, slots, lr, conf.wd, b1, b2,
+                            conf.eps, count)
+    raise ValueError(optimizer)
+
+
+# ---------------------------------------------------------------------------
+# Sampled-row (PartialFC head) updates: gather → update → scatter.
+# ---------------------------------------------------------------------------
+
+def row_sgd_update(weight, slots, idx, grad_rows, lr, wd: float, mom: float):
+    """Update only the sampled rows, exactly like the reference's swapped-in
+    torch.SGD step on weight_activated (reference nets/PartialFC.py:120-143).
+    idx=None means all rows (sample_rate == 1 full softmax)."""
+    w = weight if idx is None else weight[idx]
+    b = slots["momentum"] if idx is None else slots["momentum"][idx]
+    g = grad_rows + wd * w
+    b = mom * b + g
+    w = w - lr * b
+    if idx is None:
+        return w, {"momentum": b}
+    return (weight.at[idx].set(w),
+            {"momentum": slots["momentum"].at[idx].set(b)})
+
+
+def row_adamw_update(weight, slots, idx, grad_rows, lr, wd: float, b1: float,
+                     b2: float, eps: float, count):
+    """Sampled-row AdamW with a single shared step counter, matching the
+    reference's injected state['step'] (reference nets/PartialFC.py:317-327)."""
+    t = count.astype(jnp.float32)
+    bc1 = 1.0 - b1 ** t
+    bc2 = 1.0 - b2 ** t
+    w0 = weight if idx is None else weight[idx]
+    m0 = slots["exp_avg"] if idx is None else slots["exp_avg"][idx]
+    v0 = slots["exp_avg_sq"] if idx is None else slots["exp_avg_sq"][idx]
+    w = w0 * (1.0 - lr * wd)
+    m = b1 * m0 + (1.0 - b1) * grad_rows
+    v = b2 * v0 + (1.0 - b2) * jnp.square(grad_rows)
+    w = w - (lr / bc1) * m / (jnp.sqrt(v) / jnp.sqrt(bc2) + eps)
+    if idx is None:
+        return w, {"exp_avg": m, "exp_avg_sq": v}
+    return (weight.at[idx].set(w),
+            {"exp_avg": slots["exp_avg"].at[idx].set(m),
+             "exp_avg_sq": slots["exp_avg_sq"].at[idx].set(v)})
+
+
+def pfc_row_update(optimizer: str, conf, weight, slots, idx, grad_rows, lr, count):
+    if optimizer == "SGD":
+        return row_sgd_update(weight, slots, idx, grad_rows, lr, conf.wd, conf.mom)
+    if optimizer == "AdamW":
+        b1, b2 = conf.betas
+        return row_adamw_update(weight, slots, idx, grad_rows, lr, conf.wd,
+                                b1, b2, conf.eps, count)
+    raise ValueError(optimizer)

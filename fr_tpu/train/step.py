@@ -1,0 +1,202 @@
+"""The pjit/shard_map training step.
+
+One compiled SPMD program per step over the ('data','model') mesh:
+
+  encoder fwd (local batch, local BN)                 — per device
+  L2-normalise embeddings                             — per device
+  all_gather embeddings over 'model'                  — ICI collective
+  cosine logits vs sampled local class shard (bf16)   — MXU
+  margin + distributed online-softmax CE              — pmax/psum over 'model'
+  backward (AD derives psum_scatter for the gather)   — ICI collective
+  psum encoder grads over ('data','model')            — ICI collective
+  global-norm clip 5 → SGD-mom / AdamW                — replicated
+  psum head-row grads over 'data' → sampled-row update— local scatter
+
+This reproduces the reference's per-step collective pattern —
+2×all_gather + 3×all_reduce + reduce-to-owner + DDP bucket all-reduce
+(reference SURVEY §3.4; nets/PartialFC.py:175-207,441-525;
+model/FR_PartialFC.py:162-193) — with XLA collectives over ICI, and keeps
+BatchNorm statistics local per device exactly like the reference's
+DDP(broadcast_buffers=False) (reference model/FR_PartialFC.py:98).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fr_tpu.heads.partial_fc import (
+    PFCConfig,
+    remap_labels,
+    sample_columns,
+    shard_softmax_ce,
+    shard_valid_mask,
+)
+from fr_tpu.models.common import l2_normalize
+from fr_tpu.parallel.mesh import BATCH_SPEC, DATA_AXIS, MODEL_AXIS
+from fr_tpu.train.optim import clip_by_global_norm, encoder_update, pfc_row_update
+from fr_tpu.train.state import TrainState, state_partition_specs
+
+try:  # jax>=0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
+                    donate: bool = True) -> Callable:
+    """Build the jitted train step.
+
+    Returns step(state, images, labels, lr, key) -> (state, metrics) with
+      images : (global_B, H, W, C) float32, sharded over the batch dim
+      labels : (global_B,) int32 global class ids
+      lr     : scalar f32 (epoch-stepped schedule, reference utils/trainer.py)
+      key    : jax.random key for negative sampling
+    """
+    num_local = pfc_cfg.num_local
+    optimizer = conf.optimizer_name
+    model_size = mesh.shape[MODEL_AXIS]
+
+    def per_device(state: TrainState, images, labels, lr, key):
+        # `labels` arrives REPLICATED (labels are tiny); this keeps the
+        # sampled index provably replicated over 'data' for shard_map's
+        # replication checker, and avoids a label all_gather entirely
+        # (the reference all_gathers labels every step,
+        # nets/PartialFC.py:183).
+        didx = lax.axis_index(DATA_AXIS)
+        midx = lax.axis_index(MODEL_AXIS)
+        b_loc = images.shape[0]
+        row_size = model_size * b_loc
+
+        # ---- negative sampling (no grad; reference nets/PartialFC.py:92-131).
+        # Positives are forced in from the *global* batch so the sampled set
+        # is identical across the 'data' axis and the row update is uniform.
+        class_start = midx * num_local
+        valid = shard_valid_mask(pfc_cfg, midx)
+        if pfc_cfg.sampling:
+            loc_all = labels - class_start
+            owned_all = (loc_all >= 0) & (loc_all < num_local)
+            pos_mask = jnp.zeros((num_local,), jnp.int32).at[
+                jnp.where(owned_all, loc_all, 0)].max(
+                owned_all.astype(jnp.int32)) > 0
+            k = jax.random.fold_in(jax.random.fold_in(key, state.step), midx)
+            idx = sample_columns(pfc_cfg, k, pos_mask, valid)
+            col_valid = valid[idx]
+            w_rows = state.pfc.weight[idx]
+        else:
+            idx = None
+            col_valid = valid
+            w_rows = state.pfc.weight
+
+        # Column labels for this data-row's samples
+        # (reference nets/PartialFC.py:186-193).
+        labels_row = lax.dynamic_slice_in_dim(labels, didx * row_size, row_size)
+        loc_row = labels_row - class_start
+        owned_row = (loc_row >= 0) & (loc_row < num_local)
+        if pfc_cfg.sampling:
+            label_cols = remap_labels(pfc_cfg, idx, loc_row, owned_row)
+        else:
+            label_cols = jnp.where(owned_row, loc_row, -1)
+
+        def loss_fn(params, w_act):
+            emb, updates = encoder.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"])
+            emb = l2_normalize(emb.astype(jnp.float32))
+            emb_row = lax.all_gather(emb, MODEL_AXIS, tiled=True)
+            per_sample = shard_softmax_ce(pfc_cfg, emb_row, label_cols,
+                                          w_act, col_valid, MODEL_AXIS)
+            # mean over this data-row's samples, then over rows = global mean
+            # over the full batch (reference nets/PartialFC.py:461).
+            loss = lax.pmean(per_sample.mean(), DATA_AXIS)
+            return loss, updates.get("batch_stats", {})
+
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (loss, new_bs), (g_enc, g_rows) = grad_fn(state.params, w_rows)
+
+        # No manual psum needed: shard_map's vma-aware AD auto-psums input
+        # cotangents over every mesh axis the input is replicated on, so
+        # g_enc (replicated params) and g_rows (class shard, replicated over
+        # 'data') are already the true global gradients — the automatic
+        # equivalent of the reference's DDP all-reduce + AllGatherFunc
+        # backward reduce-to-owner (nets/PartialFC.py:505-522).
+        # Running BN stats: averaged across devices (training normalisation
+        # already used local stats; the reference leaves per-rank stats
+        # unsynced and checkpoints rank 0's — we average instead).
+        new_bs = jax.tree.map(
+            lambda x: lax.pmean(x, (DATA_AXIS, MODEL_AXIS)), new_bs)
+
+        # Encoder: clip global-norm 5 then update
+        # (reference model/FR_PartialFC.py:178-188).
+        g_enc, grad_norm = clip_by_global_norm(g_enc, 5.0)
+        count = state.step + 1
+        new_params, new_opt = encoder_update(
+            optimizer, conf, state.params, g_enc, state.opt_slots, lr, count)
+
+        # Head: sampled-row update on the local shard (functional stand-in for
+        # the reference's optimizer-state swap, nets/PartialFC.py:120-143).
+        new_w, new_slots = pfc_row_update(
+            optimizer, conf, state.pfc.weight, state.pfc.slots, idx, g_rows,
+            lr, count)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_slots=new_opt,
+            pfc=state.pfc.replace(weight=new_w, slots=new_slots,
+                                  count=state.pfc.count + 1),
+        )
+        metrics = {"loss": loss, "grad_norm": grad_norm, "lr": lr}
+        return new_state, metrics
+
+    state_specs = None
+
+    def build(state: TrainState):
+        nonlocal state_specs
+        state_specs = state_partition_specs(state)
+        mapped = shard_map(
+            per_device, mesh=mesh,
+            in_specs=(state_specs, BATCH_SPEC, P(), P(), P()),
+            out_specs=(state_specs, P()),
+        )
+        return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+    compiled = None
+
+    @functools.wraps(per_device)
+    def step(state, images, labels, lr, key):
+        nonlocal compiled
+        if compiled is None:
+            compiled = build(state)
+        lr = jnp.asarray(lr, jnp.float32)
+        return compiled(state, images, labels, lr, key)
+
+    return step
+
+
+def make_embed_step(conf, mesh: Mesh, encoder) -> Callable:
+    """Inference/validation embedding step: encoder in eval mode (BN running
+    stats), L2-normalised output (reference model/FR_PartialFC.py:196-218)."""
+
+    @functools.partial(jax.jit, static_argnums=())
+    def embed(params, batch_stats, images):
+        images = lax.with_sharding_constraint(
+            images, NamedSharding(mesh, BATCH_SPEC))
+        emb = encoder.apply({"params": params, "batch_stats": batch_stats},
+                            images, train=False)
+        return l2_normalize(emb.astype(jnp.float32))
+
+    return embed
+
+
+def shard_batch(mesh: Mesh, images, labels):
+    """Device-put a host batch: images sharded over the batch dim, labels
+    replicated (tiny; keeps the sampled class set provably replicated)."""
+    return (jax.device_put(images, NamedSharding(mesh, BATCH_SPEC)),
+            jax.device_put(labels, NamedSharding(mesh, P())))

@@ -1,0 +1,108 @@
+"""Import reference (torch) checkpoints into fr_tpu flax params.
+
+The reference saves encoder-only checkpoints `{model_state_dict, epoch, name}`
+with an optional DDP 'module.' prefix (reference utils/trainer.py:107-115,
+model/FR_PartialFC.py:76-90). This module maps those state dicts onto our
+flax ResNet parameter tree so reference-trained encoders can be evaluated or
+fine-tuned in fr_tpu, and doubles as the numerical-parity bridge in tests.
+
+Conventions:
+- torch conv weight (O, I, kh, kw) → flax kernel (kh, kw, I, O)
+- torch linear weight (O, I) → flax kernel (I, O)
+- torch BN weight/bias/running_mean/running_var → flax scale/bias + batch_stats
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+from fr_tpu.models.resnet import RESNET_LAYERS
+
+
+def strip_module_prefix(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Remove the DDP 'module.' prefix (reference model/FR_PartialFC.py:80-88)."""
+    return {(k[7:] if k.startswith("module.") else k): v
+            for k, v in state_dict.items()}
+
+
+def _t2n(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _conv(sd, name):
+    return {"kernel": np.transpose(_t2n(sd[f"{name}.weight"]), (2, 3, 1, 0))}
+
+
+def _bn(sd, name) -> Tuple[Dict, Dict]:
+    params = {"scale": _t2n(sd[f"{name}.weight"]),
+              "bias": _t2n(sd[f"{name}.bias"])}
+    stats = {"mean": _t2n(sd[f"{name}.running_mean"]),
+             "var": _t2n(sd[f"{name}.running_var"])}
+    return params, stats
+
+
+def _linear(sd, name):
+    return {"kernel": np.transpose(_t2n(sd[f"{name}.weight"])),
+            "bias": _t2n(sd[f"{name}.bias"])}
+
+
+def resnet_from_torch(state_dict: Mapping[str, Any], network: str
+                      ) -> Tuple[Dict, Dict]:
+    """Map a reference nets/resnet.py state_dict to (params, batch_stats) for
+    fr_tpu.models.resnet.ResNet."""
+    sd = strip_module_prefix(state_dict)
+    layers = RESNET_LAYERS[network]
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_bn(flax_name, torch_name):
+        p, s = _bn(sd, torch_name)
+        # our BatchNorm wrapper adds one module level
+        params[flax_name] = {"BatchNorm_0": p}
+        stats[flax_name] = {"BatchNorm_0": s}
+
+    params["Conv_0"] = {"Conv_0": _conv(sd, "conv1")}
+    put_bn("BatchNorm_0", "bn1")
+
+    block_i = 0
+    for stage, blocks in enumerate(layers, start=1):
+        for b in range(blocks):
+            tb = f"layer{stage}.{b}"
+            bp: Dict[str, Any] = {
+                "Conv_0": {"Conv_0": _conv(sd, f"{tb}.conv1")},
+                "Conv_1": {"Conv_0": _conv(sd, f"{tb}.conv2")},
+            }
+            bs: Dict[str, Any] = {}
+            p, s = _bn(sd, f"{tb}.bn1")
+            bp["BatchNorm_0"] = {"BatchNorm_0": p}
+            bs["BatchNorm_0"] = {"BatchNorm_0": s}
+            p, s = _bn(sd, f"{tb}.bn2")
+            bp["BatchNorm_1"] = {"BatchNorm_0": p}
+            bs["BatchNorm_1"] = {"BatchNorm_0": s}
+            if f"{tb}.downsample.0.weight" in sd:
+                bp["Conv_2"] = {"Conv_0": _conv(sd, f"{tb}.downsample.0")}
+                p, s = _bn(sd, f"{tb}.downsample.1")
+                bp["BatchNorm_2"] = {"BatchNorm_0": p}
+                bs["BatchNorm_2"] = {"BatchNorm_0": s}
+            params[f"BasicBlock_{block_i}"] = bp
+            stats[f"BasicBlock_{block_i}"] = bs
+            block_i += 1
+
+    put_bn("BatchNorm_1", "bn2")
+    params["Dense_0"] = {"Dense_0": _linear(sd, "fc")}
+    put_bn("BatchNorm_2", "bn3")
+    return params, stats
+
+
+def load_reference_checkpoint(path: str, network: str) -> Tuple[Dict, Dict]:
+    """Load a reference `{epoch}_epoch_encoder.pth` checkpoint
+    (reference utils/trainer.py:111-115)."""
+    import torch  # CPU torch, used only for deserialisation
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state_dict", ckpt)
+    return resnet_from_torch(sd, network)
