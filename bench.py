@@ -1,0 +1,129 @@
+"""Benchmark: R100-IR + ArcFace/PartialFC training throughput (imgs/sec/chip).
+
+The reference's north-star metric (BASELINE.md): imgs/sec/chip for
+ResNet100 + ArcFace on MS1M-like data. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
+
+vs_baseline = measured / roofline where roofline = peak bf16 FLOPs of the
+chip divided by the analytic FLOP cost of one training step per image
+(fwd + bwd ≈ 3× fwd matmul/conv FLOPs, via jax cost analysis). The
+BASELINE target is ≥0.95 of roofline.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def peak_bf16_tflops() -> float:
+    """Best-effort peak bf16 TFLOPs for the attached chip."""
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "v5 lite": 197.0, "v5litepod": 197.0, "v5e": 197.0,
+        "v4": 275.0, "v5p": 459.0, "v6e": 918.0, "v6 lite": 918.0,
+    }
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return 197.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # Remote compiles over the axon tunnel take minutes; persist them.
+    os.makedirs("/root/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from fr_tpu.configs import load_config
+    from fr_tpu.heads.partial_fc import PFCConfig
+    from fr_tpu.models import build_encoder
+    from fr_tpu.parallel import make_mesh
+    from fr_tpu.train import init_train_state, make_train_step
+    from fr_tpu.train.step import shard_batch
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    n_classes = int(os.environ.get("BENCH_CLASSES", "86690"))
+    network = os.environ.get("BENCH_NETWORK", "ResNet100")
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    conf = load_config("ms1m_arcface_122", network=network)
+    conf.n_classes = n_classes
+    conf.mixed_precision = True
+    conf.sample_rate = float(os.environ.get("BENCH_SAMPLE_RATE", "0.3"))
+
+    mesh = make_mesh()
+    n_chips = mesh.devices.size
+    pfc_cfg = PFCConfig(
+        num_classes=conf.n_classes, embedding_size=conf.emd_size,
+        model_size=mesh.shape["model"], sample_rate=conf.sample_rate,
+        margin=conf.metric, s=conf.loss_s, m=conf.loss_m,
+        mixed_precision=True, optimizer=conf.optimizer_name)
+
+    encoder = build_encoder(conf)
+    # jitted init: eager op-by-op init pays ~33ms tunnel RPC per op
+    state = jax.jit(lambda k: init_train_state(
+        k, conf, encoder, pfc_cfg, conf.img_size))(jax.random.key(0))
+    jax.block_until_ready(jax.tree.leaves(state.params)[0])
+    step = make_train_step(conf, mesh, encoder, pfc_cfg)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((batch, conf.img_size, conf.img_size, 3)).astype(np.float32)
+    y = rng.integers(0, conf.n_classes, batch).astype(np.int32)
+    xs, ys = shard_batch(mesh, x, y)
+
+    # analytic flop cost of the forward pass, for the roofline denominator
+    # (jaxpr traversal, no compile)
+    flops_per_step = None
+    try:
+        from fr_tpu.utils.flops import count_flops
+        fwd = count_flops(
+            lambda p, b, im: encoder.apply(
+                {"params": p, "batch_stats": b}, im, train=False),
+            state.params, state.batch_stats, xs)
+        flops_per_step = 3.0 * fwd  # fwd + bwd ≈ 3× fwd
+    except Exception:
+        pass
+
+    # warmup / compile. NOTE: block_until_ready returns early on the axon
+    # remote runtime — only a value fetch truly synchronises.
+    key = jax.random.key(1)
+    lr = jnp.float32(0.05)
+    state, metrics = step(state, xs, ys, lr, key)
+    float(metrics["loss"])
+    state, metrics = step(state, xs, ys, lr, key)
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, xs, ys, lr, key)
+    final_loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
+
+    imgs_per_sec = batch * steps / dt
+    imgs_per_sec_chip = imgs_per_sec / n_chips
+
+    vs_baseline = None
+    if flops_per_step:
+        peak = peak_bf16_tflops() * 1e12 * n_chips
+        roofline_imgs = peak / (flops_per_step / batch)
+        vs_baseline = imgs_per_sec / roofline_imgs
+
+    print(json.dumps({
+        "metric": f"{network}+{conf.metric} train throughput "
+                  f"(b={batch}, C={n_classes}, r={conf.sample_rate}, bf16)",
+        "value": round(imgs_per_sec_chip, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

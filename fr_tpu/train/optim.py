@@ -26,6 +26,19 @@ import jax.numpy as jnp
 Pytree = Any
 
 
+def take_rows(a, idx):
+    """Gather rows by a SORTED, UNIQUE index vector (sampled class columns are
+    top-k outputs, sorted and duplicate-free) — the hints let XLA:TPU emit a
+    vectorised gather instead of a serialised per-row loop."""
+    return jnp.take(a, idx, axis=0, unique_indices=True,
+                    indices_are_sorted=True)
+
+
+def put_rows(a, idx, vals):
+    """Scatter rows back (sorted, unique indices — vectorised lowering)."""
+    return a.at[idx].set(vals, unique_indices=True, indices_are_sorted=True)
+
+
 def clip_by_global_norm(grads: Pytree, max_norm: float) -> Tuple[Pytree, jnp.ndarray]:
     leaves = jax.tree.leaves(grads)
     total = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves))
@@ -97,15 +110,15 @@ def row_sgd_update(weight, slots, idx, grad_rows, lr, wd: float, mom: float):
     """Update only the sampled rows, exactly like the reference's swapped-in
     torch.SGD step on weight_activated (reference nets/PartialFC.py:120-143).
     idx=None means all rows (sample_rate == 1 full softmax)."""
-    w = weight if idx is None else weight[idx]
-    b = slots["momentum"] if idx is None else slots["momentum"][idx]
+    w = weight if idx is None else take_rows(weight, idx)
+    b = slots["momentum"] if idx is None else take_rows(slots["momentum"], idx)
     g = grad_rows + wd * w
     b = mom * b + g
     w = w - lr * b
     if idx is None:
         return w, {"momentum": b}
-    return (weight.at[idx].set(w),
-            {"momentum": slots["momentum"].at[idx].set(b)})
+    return (put_rows(weight, idx, w),
+            {"momentum": put_rows(slots["momentum"], idx, b)})
 
 
 def row_adamw_update(weight, slots, idx, grad_rows, lr, wd: float, b1: float,
@@ -115,18 +128,19 @@ def row_adamw_update(weight, slots, idx, grad_rows, lr, wd: float, b1: float,
     t = count.astype(jnp.float32)
     bc1 = 1.0 - b1 ** t
     bc2 = 1.0 - b2 ** t
-    w0 = weight if idx is None else weight[idx]
-    m0 = slots["exp_avg"] if idx is None else slots["exp_avg"][idx]
-    v0 = slots["exp_avg_sq"] if idx is None else slots["exp_avg_sq"][idx]
+    w0 = weight if idx is None else take_rows(weight, idx)
+    m0 = slots["exp_avg"] if idx is None else take_rows(slots["exp_avg"], idx)
+    v0 = (slots["exp_avg_sq"] if idx is None
+          else take_rows(slots["exp_avg_sq"], idx))
     w = w0 * (1.0 - lr * wd)
     m = b1 * m0 + (1.0 - b1) * grad_rows
     v = b2 * v0 + (1.0 - b2) * jnp.square(grad_rows)
     w = w - (lr / bc1) * m / (jnp.sqrt(v) / jnp.sqrt(bc2) + eps)
     if idx is None:
         return w, {"exp_avg": m, "exp_avg_sq": v}
-    return (weight.at[idx].set(w),
-            {"exp_avg": slots["exp_avg"].at[idx].set(m),
-             "exp_avg_sq": slots["exp_avg_sq"].at[idx].set(v)})
+    return (put_rows(weight, idx, w),
+            {"exp_avg": put_rows(slots["exp_avg"], idx, m),
+             "exp_avg_sq": put_rows(slots["exp_avg_sq"], idx, v)})
 
 
 def pfc_row_update(optimizer: str, conf, weight, slots, idx, grad_rows, lr, count):

@@ -1,6 +1,4 @@
-"""The pjit/shard_map training step.
-
-One compiled SPMD program per step over the ('data','model') mesh:
+"""The training step: one compiled SPMD program over the ('data','model') mesh.
 
   encoder fwd (local batch, local BN)                 — per device
   L2-normalise embeddings                             — per device
@@ -8,9 +6,8 @@ One compiled SPMD program per step over the ('data','model') mesh:
   cosine logits vs sampled local class shard (bf16)   — MXU
   margin + distributed online-softmax CE              — pmax/psum over 'model'
   backward (AD derives psum_scatter for the gather)   — ICI collective
-  psum encoder grads over ('data','model')            — ICI collective
   global-norm clip 5 → SGD-mom / AdamW                — replicated
-  psum head-row grads over 'data' → sampled-row update— local scatter
+  head-row grads → sampled-row gather/update/scatter  — local
 
 This reproduces the reference's per-step collective pattern —
 2×all_gather + 3×all_reduce + reduce-to-owner + DDP bucket all-reduce
@@ -18,12 +15,21 @@ This reproduces the reference's per-step collective pattern —
 model/FR_PartialFC.py:162-193) — with XLA collectives over ICI, and keeps
 BatchNorm statistics local per device exactly like the reference's
 DDP(broadcast_buffers=False) (reference model/FR_PartialFC.py:98).
+
+Two lowering modes sharing one implementation (`_device_step`):
+- mesh size 1 → plain jit. shard_map's manual-sharding lowering measured
+  ~60× slower than jit for the identical program on a (1,1) mesh (XLA TPU
+  loses key fusions in manual mode), so the single-chip path never touches
+  shard_map.
+- mesh size > 1 → shard_map with explicit collectives; vma-aware AD
+  auto-psums input cotangents over every mesh axis an input is replicated
+  on, so per-device grads are already the true global gradients.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +45,12 @@ from fr_tpu.heads.partial_fc import (
 )
 from fr_tpu.models.common import l2_normalize
 from fr_tpu.parallel.mesh import BATCH_SPEC, DATA_AXIS, MODEL_AXIS
-from fr_tpu.train.optim import clip_by_global_norm, encoder_update, pfc_row_update
+from fr_tpu.train.optim import (
+    clip_by_global_norm,
+    encoder_update,
+    pfc_row_update,
+    take_rows,
+)
 from fr_tpu.train.state import TrainState, state_partition_specs
 
 try:  # jax>=0.6 exposes shard_map at top level
@@ -54,22 +65,22 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
 
     Returns step(state, images, labels, lr, key) -> (state, metrics) with
       images : (global_B, H, W, C) float32, sharded over the batch dim
-      labels : (global_B,) int32 global class ids
+      labels : (global_B,) int32 global class ids, replicated
       lr     : scalar f32 (epoch-stepped schedule, reference utils/trainer.py)
       key    : jax.random key for negative sampling
     """
     num_local = pfc_cfg.num_local
     optimizer = conf.optimizer_name
     model_size = mesh.shape[MODEL_AXIS]
+    single = mesh.devices.size == 1
 
-    def per_device(state: TrainState, images, labels, lr, key):
-        # `labels` arrives REPLICATED (labels are tiny); this keeps the
-        # sampled index provably replicated over 'data' for shard_map's
-        # replication checker, and avoids a label all_gather entirely
-        # (the reference all_gathers labels every step,
-        # nets/PartialFC.py:183).
-        didx = lax.axis_index(DATA_AXIS)
-        midx = lax.axis_index(MODEL_AXIS)
+    def _device_step(state: TrainState, images, labels, lr, key,
+                     didx, midx, data_axis: Optional[str],
+                     model_axis: Optional[str]):
+        """Per-device step body. `labels` is the full REPLICATED label vector
+        (labels are tiny); this keeps the sampled class set provably
+        replicated over 'data' for shard_map's replication checker and avoids
+        the reference's per-step label all_gather (nets/PartialFC.py:183)."""
         b_loc = images.shape[0]
         row_size = model_size * b_loc
 
@@ -87,7 +98,7 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
             k = jax.random.fold_in(jax.random.fold_in(key, state.step), midx)
             idx = sample_columns(pfc_cfg, k, pos_mask, valid)
             col_valid = valid[idx]
-            w_rows = state.pfc.weight[idx]
+            w_rows = take_rows(state.pfc.weight, idx)
         else:
             idx = None
             col_valid = valid
@@ -95,7 +106,11 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
 
         # Column labels for this data-row's samples
         # (reference nets/PartialFC.py:186-193).
-        labels_row = lax.dynamic_slice_in_dim(labels, didx * row_size, row_size)
+        if row_size == labels.shape[0]:
+            labels_row = labels
+        else:
+            labels_row = lax.dynamic_slice_in_dim(labels, didx * row_size,
+                                                  row_size)
         loc_row = labels_row - class_start
         owned_row = (loc_row >= 0) & (loc_row < num_local)
         if pfc_cfg.sampling:
@@ -108,18 +123,21 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
                 {"params": params, "batch_stats": state.batch_stats},
                 images, train=True, mutable=["batch_stats"])
             emb = l2_normalize(emb.astype(jnp.float32))
-            emb_row = lax.all_gather(emb, MODEL_AXIS, tiled=True)
-            per_sample = shard_softmax_ce(pfc_cfg, emb_row, label_cols,
-                                          w_act, col_valid, MODEL_AXIS)
+            if model_axis is not None:
+                emb = lax.all_gather(emb, model_axis, tiled=True)
+            per_sample = shard_softmax_ce(pfc_cfg, emb, label_cols,
+                                          w_act, col_valid, model_axis)
             # mean over this data-row's samples, then over rows = global mean
             # over the full batch (reference nets/PartialFC.py:461).
-            loss = lax.pmean(per_sample.mean(), DATA_AXIS)
+            loss = per_sample.mean()
+            if data_axis is not None:
+                loss = lax.pmean(loss, data_axis)
             return loss, updates.get("batch_stats", {})
 
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
         (loss, new_bs), (g_enc, g_rows) = grad_fn(state.params, w_rows)
 
-        # No manual psum needed: shard_map's vma-aware AD auto-psums input
+        # No manual grad psum: under shard_map, vma-aware AD auto-psums input
         # cotangents over every mesh axis the input is replicated on, so
         # g_enc (replicated params) and g_rows (class shard, replicated over
         # 'data') are already the true global gradients — the automatic
@@ -128,8 +146,9 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
         # Running BN stats: averaged across devices (training normalisation
         # already used local stats; the reference leaves per-rank stats
         # unsynced and checkpoints rank 0's — we average instead).
-        new_bs = jax.tree.map(
-            lambda x: lax.pmean(x, (DATA_AXIS, MODEL_AXIS)), new_bs)
+        if not single:
+            new_bs = jax.tree.map(
+                lambda x: lax.pmean(x, (DATA_AXIS, MODEL_AXIS)), new_bs)
 
         # Encoder: clip global-norm 5 then update
         # (reference model/FR_PartialFC.py:178-188).
@@ -155,21 +174,31 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
         metrics = {"loss": loss, "grad_norm": grad_norm, "lr": lr}
         return new_state, metrics
 
-    state_specs = None
+    def per_device(state, images, labels, lr, key):
+        return _device_step(state, images, labels, lr, key,
+                            lax.axis_index(DATA_AXIS),
+                            lax.axis_index(MODEL_AXIS),
+                            DATA_AXIS, MODEL_AXIS)
+
+    def single_device(state, images, labels, lr, key):
+        zero = jnp.zeros((), jnp.int32)
+        return _device_step(state, images, labels, lr, key, zero, zero,
+                            None, None)
+
+    compiled = None
 
     def build(state: TrainState):
-        nonlocal state_specs
+        donate_args = (0,) if donate else ()
+        if single:
+            return jax.jit(single_device, donate_argnums=donate_args)
         state_specs = state_partition_specs(state)
         mapped = shard_map(
             per_device, mesh=mesh,
             in_specs=(state_specs, BATCH_SPEC, P(), P(), P()),
             out_specs=(state_specs, P()),
         )
-        return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+        return jax.jit(mapped, donate_argnums=donate_args)
 
-    compiled = None
-
-    @functools.wraps(per_device)
     def step(state, images, labels, lr, key):
         nonlocal compiled
         if compiled is None:
@@ -184,10 +213,11 @@ def make_embed_step(conf, mesh: Mesh, encoder) -> Callable:
     """Inference/validation embedding step: encoder in eval mode (BN running
     stats), L2-normalised output (reference model/FR_PartialFC.py:196-218)."""
 
-    @functools.partial(jax.jit, static_argnums=())
+    @jax.jit
     def embed(params, batch_stats, images):
-        images = lax.with_sharding_constraint(
-            images, NamedSharding(mesh, BATCH_SPEC))
+        if mesh.devices.size > 1:
+            images = lax.with_sharding_constraint(
+                images, NamedSharding(mesh, BATCH_SPEC))
         emb = encoder.apply({"params": params, "batch_stats": batch_stats},
                             images, train=False)
         return l2_normalize(emb.astype(jnp.float32))
