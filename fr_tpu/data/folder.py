@@ -1,0 +1,144 @@
+"""Training dataset: class-per-directory image folder.
+
+Reimplements the reference's CustomImageFolder over `<root>/imgs/<class>/*`
+(reference utils/data_partial.py:95-164, torchvision DatasetFolder semantics:
+classes sorted lexicographically, class_to_idx by sorted order) plus a
+threaded, double-buffered host loader that decodes+resizes to fixed-size
+uint8 and hands device-resident batches to the on-device augment pipeline.
+
+Per-epoch reshuffling uses an epoch-seeded permutation — the functional
+equivalent of DistributedSampler.set_epoch (reference utils/trainer.py:72) —
+with drop_last semantics (reference utils/data_partial.py:271-278).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".ppm")
+
+
+class ImageFolderIndex:
+    """Scan of <root>/imgs/<class>/* (reference utils/data_partial.py:103-108)."""
+
+    def __init__(self, root: str, subdir: str = "imgs"):
+        base = Path(root) / subdir
+        if not base.is_dir():
+            base = Path(root)  # allow pointing directly at the class dirs
+        self.root = str(base)
+        classes = sorted(d.name for d in base.iterdir() if d.is_dir())
+        if not classes:
+            raise FileNotFoundError(f"no class directories under {base}")
+        self.classes = classes
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        samples: List[Tuple[str, int]] = []
+        for c in classes:
+            cdir = base / c
+            for f in sorted(os.listdir(cdir)):
+                if f.lower().endswith(IMG_EXTENSIONS):
+                    samples.append((str(cdir / f), self.class_to_idx[c]))
+        if not samples:
+            raise FileNotFoundError(f"no images under {base}")
+        self.samples = samples
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.classes)
+
+
+def _decode_resize(path: str, img_size: int) -> np.ndarray:
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise IOError(f"failed to decode {path}")
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    if img.shape[:2] != (img_size, img_size):
+        img = cv2.resize(img, (img_size, img_size),
+                         interpolation=cv2.INTER_LINEAR)
+    return img  # uint8 HWC RGB
+
+
+class TrainLoader:
+    """Epoch iterator of (uint8 images (B,H,W,3), int32 labels (B,)) with a
+    background prefetch thread (the reference uses torch DataLoader workers,
+    utils/data_partial.py:271-278)."""
+
+    def __init__(self, index: ImageFolderIndex, batch_size: int,
+                 img_size: int, seed: int = 0, prefetch: int = 4):
+        self.index = index
+        self.batch_size = batch_size
+        self.img_size = img_size
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def steps_per_epoch(self) -> int:
+        return len(self.index) // self.batch_size  # drop_last=True
+
+    def epoch(self, epoch: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + epoch)  # set_epoch equivalent
+        order = rng.permutation(len(self.index))
+        nsteps = self.steps_per_epoch()
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for s in range(nsteps):
+                    if stop.is_set():
+                        return
+                    sel = order[s * self.batch_size:(s + 1) * self.batch_size]
+                    imgs = np.empty((len(sel), self.img_size, self.img_size, 3),
+                                    np.uint8)
+                    labels = np.empty(len(sel), np.int32)
+                    for j, i in enumerate(sel):
+                        path, lab = self.index.samples[int(i)]
+                        imgs[j] = _decode_resize(path, self.img_size)
+                        labels[j] = lab
+                    q.put((imgs, labels))
+                q.put(None)
+            except BaseException as e:  # surface decode errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+class ArrayTrainLoader:
+    """In-memory variant (synthetic data, tests, benchmark corpora)."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray,
+                 batch_size: int, seed: int = 0):
+        assert images.dtype == np.uint8 and images.ndim == 4
+        self.images = images
+        self.labels = labels.astype(np.int32)
+        self.batch_size = batch_size
+        self.seed = seed
+
+    def steps_per_epoch(self) -> int:
+        return len(self.images) // self.batch_size
+
+    def epoch(self, epoch: int):
+        rng = np.random.default_rng(self.seed + epoch)
+        order = rng.permutation(len(self.images))
+        for s in range(self.steps_per_epoch()):
+            sel = order[s * self.batch_size:(s + 1) * self.batch_size]
+            yield self.images[sel], self.labels[sel]

@@ -60,14 +60,19 @@ except AttributeError:  # pragma: no cover
 
 
 def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    augment_cfg: Optional[tuple] = None) -> Callable:
     """Build the jitted train step.
 
     Returns step(state, images, labels, lr, key) -> (state, metrics) with
-      images : (global_B, H, W, C) float32, sharded over the batch dim
+      images : (global_B, H, W, C) float32 — or uint8 when augment_cfg is
+               given, in which case the fused augmentation pipeline
+               (fr_tpu/data/augment.py, replacing the reference's
+               albumentations CPU transforms utils/data_partial.py:134-164)
+               runs on device at the start of the step
       labels : (global_B,) int32 global class ids, replicated
       lr     : scalar f32 (epoch-stepped schedule, reference utils/trainer.py)
-      key    : jax.random key for negative sampling
+      key    : jax.random key for negative sampling + augmentation
     """
     num_local = pfc_cfg.num_local
     optimizer = conf.optimizer_name
@@ -83,6 +88,14 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
         the reference's per-step label all_gather (nets/PartialFC.py:183)."""
         b_loc = images.shape[0]
         row_size = model_size * b_loc
+
+        if augment_cfg is not None:
+            from fr_tpu.data.augment import augment_impl
+            dev_linear = didx * model_size + midx
+            k_aug = jax.random.fold_in(
+                jax.random.fold_in(jax.random.fold_in(key, 7919), state.step),
+                dev_linear)
+            images = augment_impl(k_aug, images, augment_cfg)
 
         # ---- negative sampling (no grad; reference nets/PartialFC.py:92-131).
         # Positives are forced in from the *global* batch so the sampled set

@@ -1,0 +1,222 @@
+"""Task module: owns encoder + PartialFC head + optimizer + schedule.
+
+The functional equivalent of the reference's Model
+(reference model/FR_PartialFC.py:24-474) with the same Lightning-style hook
+surface — training_step / validation_step / validation_epoch_end /
+training_epoch_end / test_step / test_epoch_end / cross_test_step /
+cross_test_epoch_end — so the Trainer loop (fr_tpu/train/trainer.py) mirrors
+the reference's (utils/trainer.py) call-for-call.
+
+Differences by design:
+- optimizer/scheduler state is inside the functional TrainState (configure
+  _optimizers is subsumed by make_train_step + get_schedule);
+- mixed precision is bf16 with fp32 master params — no GradScaler
+  (reference model/FR_PartialFC.py:146-148 fp16+scaler);
+- the whole train step (augment → encoder → PartialFC → updates) is one
+  compiled program per step.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fr_tpu.configs.base import Config
+from fr_tpu.data.augment import augment_cfg_from_conf
+from fr_tpu.eval.verification import (
+    cross_score,
+    pair_score,
+    performance_acc,
+    performance_roc,
+)
+from fr_tpu.heads.partial_fc import PFCConfig
+from fr_tpu.models import build_encoder
+from fr_tpu.models.common import l2_normalize
+from fr_tpu.parallel.mesh import make_mesh
+from fr_tpu.train.schedule import get_schedule
+from fr_tpu.train.state import init_train_state
+from fr_tpu.train.step import make_train_step, shard_batch
+from fr_tpu.utils.logger import print_log
+
+
+def pfc_config_from_conf(conf, model_size: int) -> PFCConfig:
+    return PFCConfig(
+        num_classes=conf.n_classes, embedding_size=conf.emd_size,
+        model_size=model_size, sample_rate=conf.get("sample_rate", 1.0),
+        margin=conf.metric, s=conf.loss_s, m=conf.loss_m,
+        mixed_precision=conf.mixed_precision, optimizer=conf.optimizer_name)
+
+
+class FaceRecognitionTask:
+    """Encoder + sharded head + functional optimizer state + eval logic."""
+
+    def __init__(self, conf, logger=None, stage: str = "train",
+                 mesh=None, seed: int = 0, augment: bool = True):
+        self.conf = conf
+        self.logger_ = logger
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.encoder = build_encoder(conf)
+        self.pfc_cfg = pfc_config_from_conf(conf, self.mesh.shape["model"])
+        self.schedule = get_schedule(conf)
+        self.epoch = 0
+        self.key = jax.random.key(seed)
+
+        self.state = jax.jit(lambda k: init_train_state(
+            k, conf, self.encoder, self.pfc_cfg, conf.img_size)
+        )(jax.random.key(seed))
+
+        # Optional weight transfer (reference model/FR_PartialFC.py:76-90).
+        if conf.get("ckpt_path"):
+            from fr_tpu.ckpt import load_encoder
+            params, stats, _ = load_encoder(conf.ckpt_path, conf.network)
+            params = jax.tree.map(jnp.asarray, params)
+            stats = jax.tree.map(jnp.asarray, stats)
+            self.state = self.state.replace(params=params, batch_stats=stats)
+
+        aug_cfg = augment_cfg_from_conf(conf) if (
+            augment and stage == "train") else None
+        self._train_step = make_train_step(conf, self.mesh, self.encoder,
+                                           self.pfc_cfg,
+                                           augment_cfg=aug_cfg)
+        self._embed = jax.jit(self._embed_impl)
+
+        self.min_level = conf.min_level
+        self.max_level = conf.max_level
+        self.val_msg: Dict[str, Config] = {}
+        self.test_msg: Dict[str, Config] = {}
+
+    # ------------------------------------------------------------------
+    def _embed_impl(self, params, batch_stats, images):
+        """Eval-mode embedding (reference model/FR_PartialFC.py:196-218)."""
+        if images.shape[1] != self.conf.img_size:
+            images = jax.image.resize(
+                images, (images.shape[0], self.conf.img_size,
+                         self.conf.img_size, images.shape[-1]), "bilinear")
+        emb = self.encoder.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=False)
+        return l2_normalize(emb.astype(jnp.float32))
+
+    # ------------------------------------------------------------------
+    # Training
+    # ------------------------------------------------------------------
+    def training_step(self, batch) -> Dict[str, Any]:
+        """One optimisation step (reference model/FR_PartialFC.py:162-193).
+        batch = (images uint8/float NHWC, labels int)."""
+        images, labels = batch
+        lr = self.schedule(self.epoch)  # per-epoch schedule (reference :318)
+        xs, ys = shard_batch(self.mesh, np.asarray(images),
+                             np.asarray(labels, np.int32))
+        self.state, metrics = self._train_step(self.state, xs, ys, lr,
+                                               self.key)
+        return {"loss": metrics["loss"], "lr": lr}
+
+    def training_epoch_end(self, outputs: List[Dict], running_t=None):
+        """Per-epoch report (reference model/FR_PartialFC.py:277-325)."""
+        train_loss = float(np.mean([np.asarray(o["loss"]) for o in outputs]))
+        lr = self.schedule(self.epoch)
+        epoch = self.epoch + 1
+
+        msg = "=" * 50
+        msg += (f'\n[Training with "{self.conf.train_dataset}"]\n'
+                f"- Epoch {epoch}/{self.conf.num_epoch}\n"
+                f"- Learning Rate: {lr}\n"
+                f"- Train Loss: {train_loss:.4f}\n")
+        if running_t is not None:
+            msg += f"- Training Time per Epoch: {running_t:.2f}s\n"
+
+        val_acc = None
+        if epoch % self.conf.valid_freq == 0 and self.val_msg:
+            val_acc = Config()
+            for name, vm in self.val_msg.items():
+                val_acc[name] = vm.acc
+                msg += "\n".join([
+                    f'\n\n[Validation with "{name}"]',
+                    f"- Val Accuracy: {vm.acc:.2f}%",
+                    f"- Val Inference Time: {vm.infer_time:.2f}ms\n"])
+                msg += vm.roc
+        msg += "=" * 50 + "\n"
+        print_log(self.logger_, msg)
+        self.epoch += 1
+        return {"lr": lr, "train_loss": train_loss, "val_acc": val_acc}
+
+    # ------------------------------------------------------------------
+    # Validation / pair test
+    # ------------------------------------------------------------------
+    def _shared_eval_step(self, batch, dataset_name: str, prefix: str):
+        """(reference model/FR_PartialFC.py:196-225): pairs (b,2,H,W,C) →
+        de-interleaved embeddings + wall-clock inference time."""
+        pairs, labels = batch
+        b = pairs.shape[0]
+        flat = np.asarray(pairs).reshape((-1,) + pairs.shape[2:])
+        start = time.time()
+        emb = self._embed(self.state.params, self.state.batch_stats,
+                          jnp.asarray(flat))
+        emb = np.asarray(emb)  # value fetch = device sync
+        infer_time = (time.time() - start) * 1000.0  # ms
+        e1, e2 = emb[0::2], emb[1::2]
+        return {
+            f"{dataset_name}_embedding_1": e1,
+            f"{dataset_name}_embedding_2": e2,
+            f"{dataset_name}_infer_time": infer_time,
+            f"{dataset_name}_label_list": np.asarray(labels),
+            "dataset_name": dataset_name,
+        }
+
+    def validation_step(self, batch, dataset_idx: int):
+        name = self.conf.val_dataset[dataset_idx]
+        return self._shared_eval_step(batch, name, "val")
+
+    def _eval_epoch_end(self, outputs, sink: Dict[str, Config]):
+        name = outputs[0]["dataset_name"]
+        infer_time = float(np.mean(
+            [o[f"{name}_infer_time"] for o in outputs]))
+        labels = np.concatenate([o[f"{name}_label_list"] for o in outputs])
+        e1 = np.concatenate([o[f"{name}_embedding_1"] for o in outputs])
+        e2 = np.concatenate([o[f"{name}_embedding_2"] for o in outputs])
+        hg, hi, scores = pair_score(e1, e2, labels)
+        roc, eer_th = performance_roc(hg, hi, min_level=self.min_level,
+                                      max_level=self.max_level)
+        acc = performance_acc(scores, labels, eer_th)
+        sink[name] = Config(acc=acc, infer_time=infer_time, roc=roc)
+
+    def validation_epoch_end(self, outputs):
+        self._eval_epoch_end(outputs, self.val_msg)
+
+    def test_step(self, batch, dataset_idx: int):
+        name = self.conf.test_dataset[dataset_idx]
+        return self._shared_eval_step(batch, name, "test")
+
+    def test_epoch_end(self, outputs):
+        self._eval_epoch_end(outputs, self.test_msg)
+
+    # ------------------------------------------------------------------
+    # Cross test (all-pairs; reference model/FR_PartialFC.py:379-427)
+    # ------------------------------------------------------------------
+    def cross_test_step(self, batch, dataset_idx: int):
+        name = self.conf.test_dataset[dataset_idx]
+        images, labels = batch
+        start = time.time()
+        emb = np.asarray(self._embed(self.state.params,
+                                     self.state.batch_stats,
+                                     jnp.asarray(np.asarray(images))))
+        infer_time = (time.time() - start) * 1000.0
+        return {f"{name}_embedding": emb,
+                f"{name}_label_list": np.asarray(labels),
+                f"{name}_infer_time": infer_time,
+                "dataset_name": name}
+
+    def cross_test_epoch_end(self, outputs):
+        name = outputs[0]["dataset_name"]
+        infer_time = float(np.mean([o[f"{name}_infer_time"] for o in outputs]))
+        labels = np.concatenate([o[f"{name}_label_list"] for o in outputs])
+        emb = np.concatenate([o[f"{name}_embedding"] for o in outputs])
+        hg, hi, scores, pair_labels = cross_score(emb, labels)
+        roc, eer_th = performance_roc(hg, hi, min_level=self.min_level,
+                                      max_level=self.max_level)
+        acc = performance_acc(scores, pair_labels, eer_th)
+        self.test_msg[name] = Config(acc=acc, infer_time=infer_time, roc=roc)
