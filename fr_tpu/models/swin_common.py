@@ -1,0 +1,206 @@
+"""Shared SwinV2 window-attention machinery.
+
+TPU-first re-design of the reference's SwinV2 components (reference
+nets/AlterNet_SwinV2_FAN.py:156-450 and nets/SwinV2.py:35-300):
+
+- window partition/reverse are pure reshapes/transposes with static window
+  counts (XLA lays them out without gathers);
+- the SW-MSA attention mask and the continuous-position-bias coordinate
+  table are compile-time numpy constants;
+- cosine attention (L2-normalised q·k) with per-head learnable clamped
+  logit_scale and the 2→512→heads CPB MLP, 16·sigmoid bias
+  (reference nets/AlterNet_SwinV2_FAN.py:277-286,212-232);
+- everything operates on NHWC, attention matmuls in the compute dtype
+  (bf16 on the MXU) with f32 softmax.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from fr_tpu.models.common import l2_normalize, matmul_precision, xavier_normal
+
+
+def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """(B, H, W, C) → (B·nW, ws·ws, C) (reference AlterNet_SwinV2_FAN.py:156-168)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ws, ws, W // ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, C)
+
+
+def window_reverse(windows: jnp.ndarray, ws: int, H: int, W: int) -> jnp.ndarray:
+    """(B·nW, ws·ws, C) → (B, H, W, C) (reference AlterNet_SwinV2_FAN.py:171-184)."""
+    C = windows.shape[-1]
+    B = windows.shape[0] // ((H // ws) * (W // ws))
+    x = windows.reshape(B, H // ws, W // ws, ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, C)
+
+
+def relative_coords_table(window: Tuple[int, int],
+                          pretrained: Tuple[int, int] = (0, 0)) -> np.ndarray:
+    """Log-spaced continuous relative coordinates, (1, 2Wh-1, 2Ww-1, 2)
+    (reference AlterNet_SwinV2_FAN.py:216-232)."""
+    wh, ww = window
+    h = np.arange(-(wh - 1), wh, dtype=np.float32)
+    w = np.arange(-(ww - 1), ww, dtype=np.float32)
+    table = np.stack(np.meshgrid(h, w, indexing="ij"), axis=-1)[None]
+    div_h = (pretrained[0] - 1) if pretrained[0] > 0 else (wh - 1)
+    div_w = (pretrained[1] - 1) if pretrained[1] > 0 else (ww - 1)
+    table[..., 0] /= max(div_h, 1)
+    table[..., 1] /= max(div_w, 1)
+    table *= 8.0
+    table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8.0)
+    return table.astype(np.float32)
+
+
+def relative_position_index(window: Tuple[int, int]) -> np.ndarray:
+    """(Wh·Ww, Wh·Ww) index into the flattened CPB table
+    (reference AlterNet_SwinV2_FAN.py:236-248)."""
+    wh, ww = window
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww),
+                                  indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1).astype(np.int32)
+
+
+def shifted_window_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
+    """(nW, N, N) additive mask (0 / -100) for SW-MSA, compile-time constant
+    (reference AlterNet_SwinV2_FAN.py:375-397)."""
+    img = np.zeros((H, W), np.float32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, wsl] = cnt
+            cnt += 1
+    win = img.reshape(H // ws, ws, W // ws, ws).transpose(0, 2, 1, 3)
+    win = win.reshape(-1, ws * ws)
+    mask = win[:, None, :] - win[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    """SwinV2 cosine window attention (reference AlterNet_SwinV2_FAN.py:187-302)."""
+    dim: int
+    window: Tuple[int, int]
+    num_heads: int
+    qkv_bias: bool = True
+    pretrained_window: Tuple[int, int] = (0, 0)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[np.ndarray] = None):
+        B_, N, C = x.shape
+        assert C == self.dim and C % self.num_heads == 0
+        hd = C // self.num_heads
+        prec = matmul_precision(self.dtype)
+
+        qkv_kernel = self.param("qkv_kernel", xavier_normal, (C, 3 * C),
+                                jnp.float32)
+        if self.qkv_bias:
+            q_bias = self.param("q_bias", jax.nn.initializers.zeros, (C,),
+                                jnp.float32)
+            v_bias = self.param("v_bias", jax.nn.initializers.zeros, (C,),
+                                jnp.float32)
+            bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+        else:
+            bias = jnp.zeros((3 * C,), jnp.float32)
+
+        qkv = (jnp.dot(x.astype(self.dtype), qkv_kernel.astype(self.dtype),
+                       precision=prec)
+               + bias.astype(self.dtype))
+        qkv = qkv.reshape(B_, N, 3, self.num_heads, hd)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B_, heads, N, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        # cosine attention with clamped learnable temperature
+        # (reference AlterNet_SwinV2_FAN.py:277-279)
+        logit_scale = self.param(
+            "logit_scale",
+            lambda *_: jnp.full((self.num_heads, 1, 1), np.log(10.0),
+                                jnp.float32),
+            (self.num_heads, 1, 1), jnp.float32)
+        qn = l2_normalize(q.astype(jnp.float32)).astype(self.dtype)
+        kn = l2_normalize(k.astype(jnp.float32)).astype(self.dtype)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", qn, kn,
+                          precision=prec,
+                          preferred_element_type=jnp.float32)
+        scale = jnp.exp(jnp.minimum(logit_scale, np.log(1.0 / 0.01)))
+        attn = attn * scale
+
+        # continuous relative position bias (reference :281-286)
+        table = jnp.asarray(relative_coords_table(self.window))
+        idx = jnp.asarray(relative_position_index(self.window))
+        h1 = nn.Dense(512, kernel_init=xavier_normal,
+                      bias_init=jax.nn.initializers.zeros,
+                      param_dtype=jnp.float32, name="cpb_fc1")(table)
+        bias_table = nn.Dense(self.num_heads, use_bias=False,
+                              kernel_init=xavier_normal,
+                              param_dtype=jnp.float32,
+                              name="cpb_fc2")(nn.relu(h1))
+        bias_table = bias_table.reshape(-1, self.num_heads)
+        rel_bias = bias_table[idx.reshape(-1)].reshape(N, N, self.num_heads)
+        rel_bias = rel_bias.transpose(2, 0, 1)
+        attn = attn + 16.0 * jax.nn.sigmoid(rel_bias)[None]
+
+        if mask is not None:
+            nW = mask.shape[0]
+            m = jnp.asarray(mask)[None, :, None]  # (1, nW, 1, N, N)
+            attn = attn.reshape(B_ // nW, nW, self.num_heads, N, N) + m
+            attn = attn.reshape(B_, self.num_heads, N, N)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(self.dtype),
+                         v, precision=prec,
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        out = nn.Dense(C, kernel_init=xavier_normal,
+                       bias_init=jax.nn.initializers.zeros,
+                       dtype=self.dtype, param_dtype=jnp.float32,
+                       precision=prec, name="proj")(out.astype(self.dtype))
+        return out
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath semantics)."""
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def adaptive_avg_pool(x: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
+    """torch AdaptiveAvgPool2d semantics on NHWC: bin i covers
+    [floor(i·H/oh), ceil((i+1)·H/oh)) (reference AlterNet head uses (6,6),
+    nets/AlterNet_SwinV2_FAN.py:670)."""
+    B, H, W, C = x.shape
+    if H == oh and W == ow:
+        return x
+    if H % oh == 0 and W % ow == 0:
+        return x.reshape(B, oh, H // oh, ow, W // ow, C).mean(axis=(2, 4))
+    rows = []
+    for i in range(oh):
+        h0, h1 = (i * H) // oh, -((-(i + 1) * H) // oh)
+        cols = []
+        for j in range(ow):
+            w0, w1 = (j * W) // ow, -((-(j + 1) * W) // ow)
+            cols.append(x[:, h0:h1, w0:w1, :].mean(axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)

@@ -89,13 +89,18 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
         b_loc = images.shape[0]
         row_size = model_size * b_loc
 
+        dev_linear = didx * model_size + midx
         if augment_cfg is not None:
             from fr_tpu.data.augment import augment_impl
-            dev_linear = didx * model_size + midx
             k_aug = jax.random.fold_in(
                 jax.random.fold_in(jax.random.fold_in(key, 7919), state.step),
                 dev_linear)
             images = augment_impl(k_aug, images, augment_cfg)
+        # dropout / stochastic-depth rng (AlterNet/Swin heads use Dropout and
+        # DropPath; reference nets/AlterNet_SwinV2_FAN.py:668, :427)
+        k_drop = jax.random.fold_in(
+            jax.random.fold_in(jax.random.fold_in(key, 104729), state.step),
+            dev_linear)
 
         # ---- negative sampling (no grad; reference nets/PartialFC.py:92-131).
         # Positives are forced in from the *global* batch so the sampled set
@@ -134,7 +139,8 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
         def loss_fn(params, w_act):
             emb, updates = encoder.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                images, train=True, mutable=["batch_stats"])
+                images, train=True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop})
             emb = l2_normalize(emb.astype(jnp.float32))
             if model_axis is not None:
                 emb = lax.all_gather(emb, model_axis, tiled=True)
