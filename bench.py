@@ -60,11 +60,13 @@ def main():
 
     mesh = make_mesh()
     n_chips = mesh.devices.size
+    use_fused = os.environ.get("BENCH_FUSED", "1") == "1"
     pfc_cfg = PFCConfig(
         num_classes=conf.n_classes, embedding_size=conf.emd_size,
         model_size=mesh.shape["model"], sample_rate=conf.sample_rate,
         margin=conf.metric, s=conf.loss_s, m=conf.loss_m,
-        mixed_precision=True, optimizer=conf.optimizer_name)
+        mixed_precision=True, optimizer=conf.optimizer_name,
+        use_fused=use_fused)
 
     encoder = build_encoder(conf)
     # jitted init: eager op-by-op init pays ~33ms tunnel RPC per op

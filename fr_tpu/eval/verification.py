@@ -63,6 +63,11 @@ def pair_score(embedding_1, embedding_2, labels, metric: str = "euclidean",
     e1 = np.asarray(embedding_1)
     e2 = np.asarray(embedding_2)
     labels = np.asarray(labels)
+    if e1.dtype == np.float32:
+        from fr_tpu import native
+        res = native.pair_score_native(e1, e2, labels)
+        if res is not None:
+            return res
     # numba computes the diff in the input dtype and squares/accumulates in
     # f64 (math.pow promotes); reproduce that exactly.
     diff = (e1 - e2).astype(np.float64)
@@ -136,6 +141,11 @@ def cross_score(embeddings, labels, metric: str = "euclidean"):
     assert metric in ("euclidean", "cosine"), "Invalid metric !!!"
     emb = np.asarray(embeddings)
     lab = np.asarray(labels)
+    if emb.dtype == np.float32 and np.issubdtype(lab.dtype, np.integer):
+        from fr_tpu import native
+        res = native.cross_score_native(emb, lab)
+        if res is not None:
+            return res
     n = emb.shape[0]
     iu_j, iu_i = np.triu_indices(n, k=1)  # j < i pairs; (i outer, j inner) order
     order = np.lexsort((iu_j, iu_i))

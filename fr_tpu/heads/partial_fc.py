@@ -56,6 +56,8 @@ class PFCConfig:
     m: float = 0.5
     mixed_precision: bool = True
     optimizer: str = "SGD"       # 'SGD' | 'AdamW' (reference model/FR_PartialFC.py:102-109)
+    use_fused: bool = False      # fused Pallas margin-softmax-CE kernel
+    fused_tiles: Tuple[int, int] = (128, 512)
 
     @property
     def num_classes_padded(self) -> int:
@@ -156,6 +158,12 @@ def shard_softmax_ce(cfg: PFCConfig, emb_row: jnp.ndarray,
 
     Returns per-sample loss (N,), replicated across the model axis.
     """
+    if getattr(cfg, "use_fused", False):
+        from fr_tpu.ops.fused_pfc import fused_margin_softmax_ce
+        return fused_margin_softmax_ce(
+            l2_normalize(emb_row.astype(jnp.float32)),
+            l2_normalize(w_act.astype(jnp.float32)),
+            label_cols, col_valid, cfg, model_axis, cfg.fused_tiles)
     compute = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
     ne = l2_normalize(emb_row).astype(compute)
     nw = l2_normalize(w_act).astype(compute)

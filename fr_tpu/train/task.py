@@ -44,11 +44,16 @@ from fr_tpu.utils.logger import print_log
 
 
 def pfc_config_from_conf(conf, model_size: int) -> PFCConfig:
+    use_fused = conf.get("use_fused")
+    if use_fused is None:
+        from fr_tpu.ops.fused_pfc import fused_available
+        use_fused = fused_available()
     return PFCConfig(
         num_classes=conf.n_classes, embedding_size=conf.emd_size,
         model_size=model_size, sample_rate=conf.get("sample_rate", 1.0),
         margin=conf.metric, s=conf.loss_s, m=conf.loss_m,
-        mixed_precision=conf.mixed_precision, optimizer=conf.optimizer_name)
+        mixed_precision=conf.mixed_precision, optimizer=conf.optimizer_name,
+        use_fused=bool(use_fused))
 
 
 class FaceRecognitionTask:
