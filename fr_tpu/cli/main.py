@@ -44,6 +44,8 @@ def parse_args(argv=None):
                    help="train/eval on synthetic identity data")
     p.add_argument("--synthetic_classes", type=int, default=128)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile", type=int, default=0,
+                   help="capture a jax.profiler trace of N steps")
     p.add_argument("--save_root", type=str, default="save")
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host)")
@@ -133,7 +135,8 @@ def train(args):
     train_loader, vals = _loaders(args, conf, mesh)
     task = FaceRecognitionTask(conf, logger=logger, stage="train", mesh=mesh)
     trainer = Trainer(conf, save, "train", logger)
-    trainer.train(task, train_loader, vals, resume=args.resume)
+    trainer.train(task, train_loader, vals, resume=args.resume,
+                  profile_steps=args.profile)
 
 
 def test(args):

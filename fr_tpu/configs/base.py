@@ -45,7 +45,9 @@ class Config(dict):
 NETWORKS = [
     "ResNet18", "ResNet34", "ResNet50", "ResNet100", "ResNet200",
     "AlterNet18", "AlterNet34", "AlterNet50", "AlterNet100", "AlterNet200",
-    "Swin34", "Swin50", "Swin100", "Swin200",
+    "AlterNetV1_18", "AlterNetV1_34", "AlterNetV1_50", "AlterNetV1_100",
+    "AlterNetV1_200",
+    "Swin18", "Swin34", "Swin50", "Swin100", "Swin200",
     "EffiAlter_s", "EffiAlter_m", "EffiAlter_l", "EffiAlter_xl",
 ]
 LOSSES = ["ArcFace", "CosFace", "PartialFC"]

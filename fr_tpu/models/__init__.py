@@ -8,6 +8,9 @@ def build_encoder(conf):
     if "EffiAlter" in name:
         from fr_tpu.models.effialternet import build_effialternet
         return build_effialternet(conf)
+    if "AlterNetV1" in name:
+        from fr_tpu.models.alternet_v1 import build_alternet_v1
+        return build_alternet_v1(conf)
     if "AlterNet" in name:
         from fr_tpu.models.alternet import build_alternet
         return build_alternet(conf)

@@ -82,6 +82,13 @@ class FaceRecognitionTask:
             stats = jax.tree.map(jnp.asarray, stats)
             self.state = self.state.replace(params=params, batch_stats=stats)
 
+        # structural summary (reference model/FR_PartialFC.py:115 uses
+        # torchsummary on rank 0)
+        from fr_tpu.utils.summary import model_summary
+        print_log(logger, model_summary(
+            self.state.params, self.state.batch_stats,
+            head_params=self.pfc_cfg.num_classes_padded * conf.emd_size))
+
         aug_cfg = augment_cfg_from_conf(conf) if (
             augment and stage == "train") else None
         self._train_step = make_train_step(conf, self.mesh, self.encoder,
@@ -133,6 +140,11 @@ class FaceRecognitionTask:
                 f"- Train Loss: {train_loss:.4f}\n")
         if running_t is not None:
             msg += f"- Training Time per Epoch: {running_t:.2f}s\n"
+            n_imgs = len(outputs) * self.conf.b
+            n_chips = self.mesh.devices.size
+            if running_t > 0:
+                msg += (f"- Throughput: {n_imgs / running_t:.1f} imgs/sec "
+                        f"({n_imgs / running_t / n_chips:.1f} imgs/sec/chip)\n")
 
         val_acc = None
         if epoch % self.conf.valid_freq == 0 and self.val_msg:

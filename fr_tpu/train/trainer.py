@@ -37,9 +37,14 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self, task, train_loader, val_datasets: Optional[Dict] = None,
-              resume: bool = False):
+              resume: bool = False, profile_steps: int = 0):
         """task: FaceRecognitionTask; train_loader: TrainLoader-like with
-        .epoch(e) and .steps_per_epoch(); val_datasets: {name: PairDataset}."""
+        .epoch(e) and .steps_per_epoch(); val_datasets: {name: PairDataset}.
+
+        profile_steps > 0 captures a jax.profiler trace of that many steps of
+        the first epoch into <save_dir>/profile (capability upgrade: the
+        reference has only ad-hoc CUDA-event timers, SURVEY §5)."""
+        import jax
         conf = self.conf
         start_epoch = 0
         if resume:
@@ -52,14 +57,27 @@ class Trainer:
                 task.epoch = step
                 print_log(self.logger_, f"resumed at epoch {step}")
 
+        profiling = False
         for epoch in range(start_epoch, conf.num_epoch):
             running_t = 0.0
             train_outputs: List[Dict] = []
             print_log(self.logger_, f"{epoch + 1} Epoch Training")
-            for batch in train_loader.epoch(epoch):
+            for step_i, batch in enumerate(train_loader.epoch(epoch)):
+                if profile_steps and epoch == start_epoch:
+                    if step_i == 1:  # skip compile step
+                        jax.profiler.start_trace(str(self.save_dir / "profile"))
+                        profiling = True
+                    elif profiling and step_i == 1 + profile_steps:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        print_log(self.logger_,
+                                  f"profile trace: {self.save_dir}/profile")
                 t0 = time.time()
                 train_outputs.append(task.training_step(batch))
                 running_t += time.time() - t0
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
 
             if (epoch + 1) % conf.valid_freq == 0 and val_datasets:
                 print_log(self.logger_, f"{epoch + 1} Epoch Validation")

@@ -168,6 +168,61 @@ def test_effialternet_tiny_shapes():
     assert np.isfinite(np.asarray(out2)).all()
 
 
+def test_alternet_v1_tiny_shapes():
+    """Original einsum local-attention AlterNet (reference nets/AlterNet.py)."""
+    from fr_tpu.models.alternet_v1 import AlterNetV1
+    model = AlterNetV1(num_blocks=(2, 3, 3, 3), num_blocks2=(0, 1, 1, 1),
+                       heads=(3, 6, 12, 24), emd_size=48)
+    x = jnp.zeros((2, 112, 112, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 48)
+    out2, _ = model.apply(variables, x, train=True, mutable=["batch_stats"],
+                          rngs={"dropout": jax.random.key(1)})
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_local_attention_matches_reference():
+    """Attention2d + LocalAttention parity vs reference nets/AlterNet.py."""
+    add_reference_to_path()
+    import timm_shim
+    timm_shim.install()
+    import torch
+    from nets.AlterNet import LocalAttention as RefLA
+
+    from fr_tpu.models.alternet_v1 import LocalAttention
+
+    torch.manual_seed(3)
+    dim, heads, dim_head, p = 24, 3, 8, 7
+    ref = RefLA(dim, dim, window_size=p, heads=heads, dim_head=dim_head)
+    ref.eval()
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, dim, 14, 14)).astype(np.float32)
+    with torch.no_grad():
+        ref_out, _ = ref(torch.tensor(x))
+    la = LocalAttention(dim, heads, dim_head, window=p)
+    sd = ref.state_dict()
+    inner = heads * dim_head
+    params = {
+        "pos_embedding": sd["pos_embedding"].numpy(),
+        "Attention2d_0": {
+            "Conv_0": {"Conv_0": {"kernel": np.transpose(
+                sd["attn.to_q.weight"].numpy(), (2, 3, 1, 0))}},
+            "Conv_1": {"kernel": np.transpose(
+                sd["attn.to_kv.weight"].numpy(), (2, 3, 1, 0))},
+            "Conv_2": {"Conv_0": {
+                "kernel": np.transpose(
+                    sd["attn.to_out.0.weight"].numpy(), (2, 3, 1, 0)),
+                "bias": sd["attn.to_out.0.bias"].numpy()}},
+        },
+    }
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    out = la.apply({"params": params}, x_nhwc)
+    out_nchw = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out_nchw, ref_out.numpy(), rtol=2e-4, atol=2e-5)
+
+
 def test_alternet_train_step_smoke():
     """Full sharded train step with a transformer hybrid encoder (exercises
     dropout/drop-path rngs and window attention under shard_map)."""
