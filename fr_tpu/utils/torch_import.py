@@ -99,10 +99,108 @@ def resnet_from_torch(state_dict: Mapping[str, Any], network: str
     return params, stats
 
 
+def _swin_attn(sd, prefix: str) -> Dict:
+    """WindowAttention params (reference nets/AlterNet_SwinV2_FAN.py:187-302)
+    → fr_tpu.models.swin_common.WindowAttention tree."""
+    return {
+        "qkv_kernel": np.transpose(_t2n(sd[f"{prefix}.qkv.weight"])),
+        "q_bias": _t2n(sd[f"{prefix}.q_bias"]),
+        "v_bias": _t2n(sd[f"{prefix}.v_bias"]),
+        "logit_scale": _t2n(sd[f"{prefix}.logit_scale"]),
+        "cpb_fc1": {"kernel": np.transpose(_t2n(sd[f"{prefix}.cpb_mlp.0.weight"])),
+                    "bias": _t2n(sd[f"{prefix}.cpb_mlp.0.bias"])},
+        "cpb_fc2": {"kernel": np.transpose(_t2n(sd[f"{prefix}.cpb_mlp.2.weight"]))},
+        "proj": {"kernel": np.transpose(_t2n(sd[f"{prefix}.proj.weight"])),
+                 "bias": _t2n(sd[f"{prefix}.proj.bias"])},
+    }
+
+
+def alternet_from_torch(state_dict: Mapping[str, Any], network: str
+                        ) -> Tuple[Dict, Dict]:
+    """Map a reference nets/AlterNet_SwinV2_FAN.py state_dict onto
+    fr_tpu.models.alternet.AlterNet (params, batch_stats).
+
+    Walks the stage plan in construction order: flax auto-names modules per
+    type (BasicBlock_i / AlterSwinBlock_j), the reference names them
+    layer{s}.{k}; both follow the same alt_seq placement
+    (reference :704-729)."""
+    from fr_tpu.models.alternet import ALTERNET_PLANS, alt_sequence
+
+    sd = strip_module_prefix(state_dict)
+    num_blocks, num_blocks2, _ = ALTERNET_PLANS[network]
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_bn(flax_name, torch_name, into_p=params, into_s=stats):
+        p, s = _bn(sd, torch_name)
+        into_p[flax_name] = {"BatchNorm_0": p}
+        into_s[flax_name] = {"BatchNorm_0": s}
+
+    params["Conv_0"] = {"Conv_0": _conv(sd, "conv1")}
+    put_bn("BatchNorm_0", "bn1")
+
+    basic_i = 0
+    swin_i = 0
+    for stage, (blocks, blocks2) in enumerate(zip(num_blocks, num_blocks2),
+                                              start=1):
+        k = 0  # torch index within layer{stage}
+
+        def put_basic(tb):
+            nonlocal basic_i
+            bp = {"Conv_0": {"Conv_0": _conv(sd, f"{tb}.conv1")},
+                  "Conv_1": {"Conv_0": _conv(sd, f"{tb}.conv2")}}
+            bs: Dict[str, Any] = {}
+            p, s = _bn(sd, f"{tb}.bn1")
+            bp["BatchNorm_0"] = {"BatchNorm_0": p}
+            bs["BatchNorm_0"] = {"BatchNorm_0": s}
+            p, s = _bn(sd, f"{tb}.bn2")
+            bp["BatchNorm_1"] = {"BatchNorm_0": p}
+            bs["BatchNorm_1"] = {"BatchNorm_0": s}
+            if f"{tb}.downsample.0.weight" in sd:
+                bp["Conv_2"] = {"Conv_0": _conv(sd, f"{tb}.downsample.0")}
+                p, s = _bn(sd, f"{tb}.downsample.1")
+                bp["BatchNorm_2"] = {"BatchNorm_0": p}
+                bs["BatchNorm_2"] = {"BatchNorm_0": s}
+            params[f"BasicBlock_{basic_i}"] = bp
+            stats[f"BasicBlock_{basic_i}"] = bs
+            basic_i += 1
+
+        def put_swin(tb):
+            nonlocal swin_i
+            # dim == dim_out in every reference stage plan → no shortcut conv
+            bp = {"WindowAttention_0": _swin_attn(sd, f"{tb}.attn")}
+            bs: Dict[str, Any] = {}
+            p, s = _bn(sd, f"{tb}.norm2")
+            bp["BatchNorm_0"] = {"BatchNorm_0": p}
+            bs["BatchNorm_0"] = {"BatchNorm_0": s}
+            params[f"AlterSwinBlock_{swin_i}"] = bp
+            stats[f"AlterSwinBlock_{swin_i}"] = bs
+            swin_i += 1
+
+        put_basic(f"layer{stage}.{k}"); k += 1
+        for is_alt in alt_sequence(blocks, blocks2):
+            if not is_alt:
+                put_basic(f"layer{stage}.{k}"); k += 1
+            else:
+                put_swin(f"layer{stage}.{k}"); k += 1
+                put_swin(f"layer{stage}.{k}"); k += 1
+
+    put_bn("BatchNorm_1", "bn2")
+    params["Dense_0"] = {"Dense_0": _linear(sd, "fc")}
+    put_bn("BatchNorm_2", "bn3")
+    return params, stats
+
+
 def load_reference_checkpoint(path: str, network: str) -> Tuple[Dict, Dict]:
     """Load a reference `{epoch}_epoch_encoder.pth` checkpoint
     (reference utils/trainer.py:111-115)."""
     import torch  # CPU torch, used only for deserialisation
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state_dict", ckpt)
-    return resnet_from_torch(sd, network)
+    if "ResNet" in network:
+        return resnet_from_torch(sd, network)
+    if "AlterNet" in network and "V1" not in network:
+        return alternet_from_torch(sd, network)
+    raise NotImplementedError(
+        f"reference checkpoint import not implemented for {network}")
