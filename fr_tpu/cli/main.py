@@ -51,6 +51,10 @@ def parse_args(argv=None):
                    help="call jax.distributed.initialize() (multi-host)")
     p.add_argument("--mesh_data", type=int, default=None)
     p.add_argument("--mesh_model", type=int, default=None)
+    p.add_argument("--spmd_mode", choices=["shard_map", "gspmd"],
+                   default="shard_map",
+                   help="multi-chip lowering: shard_map (reference-faithful "
+                        "local BN) or gspmd (pjit, sync-BN)")
     return p.parse_args(argv)
 
 
@@ -62,6 +66,7 @@ def build_conf(args):
         optimizer=args.optimizer, lr=args.lr, sample_rate=args.sample_rate,
         ckpt_path=args.ckpt_path)
     conf.test_type = args.test_type
+    conf.spmd_mode = args.spmd_mode
     conf.img_size = (args.img_size if args.img_size
                      else default_img_size(conf.network))  # main/main.py:102
     conf.min_lr = conf.lr / 1000                     # main/main.py:94-101

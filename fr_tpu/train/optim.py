@@ -143,6 +143,49 @@ def row_adamw_update(weight, slots, idx, grad_rows, lr, wd: float, b1: float,
              "exp_avg_sq": put_rows(slots["exp_avg_sq"], idx, v)})
 
 
+def pfc_row_update_grouped(optimizer: str, conf, weight, slots, idx2d,
+                           grad_rows, lr, count, model_size: int):
+    """GSPMD variant of the sampled-row update: weight viewed as
+    (model_size, num_local, D), per-shard index rows (model_size, num_sample)
+    gathered/scattered with take_along_axis so XLA provably keeps the
+    gather/scatter local to each 'model' shard."""
+    C, D = weight.shape
+    nl = C // model_size
+    ns = idx2d.shape[1]
+    rows = jnp.arange(model_size)[:, None]
+
+    def take3(a):
+        a3 = a.reshape(model_size, nl, D)
+        return jnp.take_along_axis(a3, idx2d[:, :, None], axis=1)
+
+    def put3(a, vals):
+        a3 = a.reshape(model_size, nl, D)
+        a3 = a3.at[rows, idx2d].set(vals, unique_indices=True,
+                                    indices_are_sorted=True)
+        return a3.reshape(C, D)
+
+    g = grad_rows.reshape(model_size, ns, D)
+    if optimizer == "SGD":
+        w = take3(weight)
+        b = take3(slots["momentum"])
+        gg = g + conf.wd * w
+        b = conf.mom * b + gg
+        w = w - lr * b
+        return put3(weight, w), {"momentum": put3(slots["momentum"], b)}
+    if optimizer == "AdamW":
+        b1, b2 = conf.betas
+        t = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** t
+        bc2 = 1.0 - b2 ** t
+        w = take3(weight) * (1.0 - lr * conf.wd)
+        m = b1 * take3(slots["exp_avg"]) + (1.0 - b1) * g
+        v = b2 * take3(slots["exp_avg_sq"]) + (1.0 - b2) * jnp.square(g)
+        w = w - (lr / bc1) * m / (jnp.sqrt(v) / jnp.sqrt(bc2) + conf.eps)
+        return put3(weight, w), {"exp_avg": put3(slots["exp_avg"], m),
+                                 "exp_avg_sq": put3(slots["exp_avg_sq"], v)}
+    raise ValueError(optimizer)
+
+
 def pfc_row_update(optimizer: str, conf, weight, slots, idx, grad_rows, lr, count):
     if optimizer == "SGD":
         return row_sgd_update(weight, slots, idx, grad_rows, lr, conf.wd, conf.mom)

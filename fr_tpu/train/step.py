@@ -44,7 +44,12 @@ from fr_tpu.heads.partial_fc import (
     shard_valid_mask,
 )
 from fr_tpu.models.common import l2_normalize
-from fr_tpu.parallel.mesh import BATCH_SPEC, DATA_AXIS, MODEL_AXIS
+from fr_tpu.parallel.mesh import (
+    BATCH_SPEC,
+    CLASS_SPEC as CLASS_SPEC_P,
+    DATA_AXIS,
+    MODEL_AXIS,
+)
 from fr_tpu.train.optim import (
     clip_by_global_norm,
     encoder_update,
@@ -224,6 +229,122 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
             compiled = build(state)
         lr = jnp.asarray(lr, jnp.float32)
         return compiled(state, images, labels, lr, key)
+
+    return step
+
+
+def make_gspmd_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
+                          donate: bool = True,
+                          augment_cfg: Optional[tuple] = None) -> Callable:
+    """GSPMD/pjit lowering of the train step: one dense global program with
+    sharding constraints; XLA's SPMD partitioner inserts the collectives.
+
+    Semantics vs the shard_map path: identical math and identical per-shard
+    sampling RNG, except BatchNorm statistics are computed over the GLOBAL
+    batch (sync-BN) rather than per device — the reference uses local BN
+    (DDP broadcast_buffers=False, model/FR_PartialFC.py:98), so the
+    shard_map path is the reference-faithful default; this path is the
+    multi-chip performance alternative (shard_map's manual lowering loses
+    XLA fusions on some stacks).
+    """
+    num_local = pfc_cfg.num_local
+    optimizer = conf.optimizer_name
+    M = mesh.shape[MODEL_AXIS]
+    C_pad = pfc_cfg.num_classes_padded
+    num_sample = pfc_cfg.num_sample
+    multi = mesh.devices.size > 1
+
+    def constrain(x, spec):
+        if multi:
+            return lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+        return x
+
+    def step_impl(state: TrainState, images, labels, lr, key):
+        images = constrain(images, BATCH_SPEC)
+        if augment_cfg is not None:
+            from fr_tpu.data.augment import augment_impl
+            k_aug = jax.random.fold_in(jax.random.fold_in(key, 7919),
+                                       state.step)
+            images = augment_impl(k_aug, images, augment_cfg)
+        k_drop = jax.random.fold_in(jax.random.fold_in(key, 104729),
+                                    state.step)
+
+        valid = jnp.arange(C_pad) < pfc_cfg.num_classes
+        if pfc_cfg.sampling:
+            pos = jnp.zeros((C_pad,), jnp.int32).at[labels].max(1) > 0
+            k0 = jax.random.fold_in(key, state.step)
+            # same per-shard RNG stream as the shard_map path (fold_in(midx))
+            perm = jnp.stack([
+                jax.random.uniform(jax.random.fold_in(k0, m), (num_local,))
+                for m in range(M)])                       # (M, num_local)
+            perm = jnp.where(pos.reshape(M, num_local), 2.0, perm)
+            perm = jnp.where(valid.reshape(M, num_local), perm, -1.0)
+            _, idx2d = lax.top_k(perm, num_sample)        # (M, num_sample)
+            idx2d = jnp.sort(idx2d, axis=1)
+            idx2d = constrain(idx2d, P(MODEL_AXIS, None))
+
+            w3 = state.pfc.weight.reshape(M, num_local, -1)
+            w_act = jnp.take_along_axis(w3, idx2d[:, :, None], axis=1)
+            w_act = constrain(w_act, P(MODEL_AXIS, None, None))
+            w_act = w_act.reshape(M * num_sample, -1)
+            col_valid = jnp.take_along_axis(
+                valid.reshape(M, num_local), idx2d, axis=1).reshape(-1)
+
+            # label → sampled-column position: shard row + searchsorted
+            m_of = labels // num_local
+            loc = labels % num_local
+            rows = idx2d[m_of]                            # (G, num_sample)
+            r = jnp.sum(rows < loc[:, None], axis=1)
+            r = jnp.minimum(r, num_sample - 1)
+            hit = jnp.take_along_axis(rows, r[:, None], axis=1)[:, 0] == loc
+            label_cols = jnp.where(hit, m_of * num_sample + r, -1)
+        else:
+            idx2d = None
+            w_act = state.pfc.weight
+            col_valid = valid
+            label_cols = jnp.where(labels < pfc_cfg.num_classes, labels, -1)
+
+        def loss_fn(params, w):
+            emb, updates = encoder.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop})
+            emb = l2_normalize(emb.astype(jnp.float32))
+            per_sample = shard_softmax_ce(pfc_cfg, emb, label_cols, w,
+                                          col_valid, None)
+            return per_sample.mean(), updates.get("batch_stats", {})
+
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (loss, new_bs), (g_enc, g_rows) = grad_fn(state.params, w_act)
+
+        g_enc, grad_norm = clip_by_global_norm(g_enc, 5.0)
+        count = state.step + 1
+        new_params, new_opt = encoder_update(
+            optimizer, conf, state.params, g_enc, state.opt_slots, lr, count)
+
+        if pfc_cfg.sampling:
+            from fr_tpu.train.optim import pfc_row_update_grouped
+            new_w, new_slots = pfc_row_update_grouped(
+                optimizer, conf, state.pfc.weight, state.pfc.slots, idx2d,
+                g_rows, lr, count, M)
+        else:
+            new_w, new_slots = pfc_row_update(
+                optimizer, conf, state.pfc.weight, state.pfc.slots, None,
+                g_rows, lr, count)
+        new_w = constrain(new_w, CLASS_SPEC_P)
+
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_bs,
+            opt_slots=new_opt,
+            pfc=state.pfc.replace(weight=new_w, slots=new_slots,
+                                  count=state.pfc.count + 1))
+        return new_state, {"loss": loss, "grad_norm": grad_norm, "lr": lr}
+
+    compiled = jax.jit(step_impl, donate_argnums=(0,) if donate else ())
+
+    def step(state, images, labels, lr, key):
+        return compiled(state, images, labels, jnp.asarray(lr, jnp.float32),
+                        key)
 
     return step
 

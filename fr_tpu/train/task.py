@@ -91,9 +91,15 @@ class FaceRecognitionTask:
 
         aug_cfg = augment_cfg_from_conf(conf) if (
             augment and stage == "train") else None
-        self._train_step = make_train_step(conf, self.mesh, self.encoder,
-                                           self.pfc_cfg,
-                                           augment_cfg=aug_cfg)
+        if conf.get("spmd_mode", "shard_map") == "gspmd":
+            from fr_tpu.train.step import make_gspmd_train_step
+            self._train_step = make_gspmd_train_step(
+                conf, self.mesh, self.encoder, self.pfc_cfg,
+                augment_cfg=aug_cfg)
+        else:
+            self._train_step = make_train_step(conf, self.mesh, self.encoder,
+                                               self.pfc_cfg,
+                                               augment_cfg=aug_cfg)
         self._embed = jax.jit(self._embed_impl)
 
         self.min_level = conf.min_level

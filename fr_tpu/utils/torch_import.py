@@ -192,6 +192,68 @@ def alternet_from_torch(state_dict: Mapping[str, Any], network: str
     return params, stats
 
 
+def swin_from_torch(state_dict: Mapping[str, Any], network: str
+                    ) -> Tuple[Dict, Dict]:
+    """Map a reference nets/SwinV2.py state_dict onto
+    fr_tpu.models.swinv2.Swin (params, batch_stats)."""
+    from fr_tpu.models.swinv2 import SWIN_PLANS
+
+    sd = strip_module_prefix(state_dict)
+    num_blocks, _ = SWIN_PLANS[network]
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_bn(flax_name, torch_name):
+        p, s = _bn(sd, torch_name)
+        params[flax_name] = {"BatchNorm_0": p}
+        stats[flax_name] = {"BatchNorm_0": s}
+
+    params["Conv_0"] = {"Conv_0": _conv(sd, "conv1")}
+    put_bn("BatchNorm_0", "bn1")
+
+    conv_i = 1   # flax top-level Conv counter (stem used Conv_0)
+    block_i = 0
+    strides = (1, 2, 2, 2)
+    for stage, (blocks, stride) in enumerate(zip(num_blocks, strides),
+                                             start=1):
+        k = 0
+        if stride > 1:  # downsample Conv2d(k=2,s=2) (reference :537-538)
+            params[f"Conv_{conv_i}"] = {"Conv_0": _conv(sd, f"layer{stage}.{k}")}
+            conv_i += 1
+            k += 1
+        for _ in range(blocks):
+            tb = f"layer{stage}.{k}"
+            bp: Dict[str, Any] = {
+                "WindowAttention_0": _swin_attn(sd, f"{tb}.attn"),
+                # conv-MLP fc1/fc2 are 1×1 convs with bias
+                "Conv_0": {"Conv_0": {
+                    "kernel": np.transpose(_t2n(sd[f"{tb}.mlp.fc1.weight"]),
+                                           (2, 3, 1, 0)),
+                    "bias": _t2n(sd[f"{tb}.mlp.fc1.bias"])}},
+                "Conv_1": {"Conv_0": {
+                    "kernel": np.transpose(_t2n(sd[f"{tb}.mlp.fc2.weight"]),
+                                           (2, 3, 1, 0)),
+                    "bias": _t2n(sd[f"{tb}.mlp.fc2.bias"])}},
+            }
+            bs: Dict[str, Any] = {}
+            p, s = _bn(sd, f"{tb}.norm2")
+            bp["BatchNorm_0"] = {"BatchNorm_0": p}
+            bs["BatchNorm_0"] = {"BatchNorm_0": s}
+            p, s = _bn(sd, f"{tb}.norm3")
+            bp["BatchNorm_1"] = {"BatchNorm_0": p}
+            bs["BatchNorm_1"] = {"BatchNorm_0": s}
+            params[f"SwinBlock_{block_i}"] = bp
+            stats[f"SwinBlock_{block_i}"] = bs
+            block_i += 1
+            k += 1
+
+    put_bn("BatchNorm_1", "bn2")
+    params["Dense_0"] = {"Dense_0": _linear(sd, "fc")}
+    put_bn("BatchNorm_2", "bn3")
+    return params, stats
+
+
 def load_reference_checkpoint(path: str, network: str) -> Tuple[Dict, Dict]:
     """Load a reference `{epoch}_epoch_encoder.pth` checkpoint
     (reference utils/trainer.py:111-115)."""
@@ -202,5 +264,7 @@ def load_reference_checkpoint(path: str, network: str) -> Tuple[Dict, Dict]:
         return resnet_from_torch(sd, network)
     if "AlterNet" in network and "V1" not in network:
         return alternet_from_torch(sd, network)
+    if "Swin" in network:
+        return swin_from_torch(sd, network)
     raise NotImplementedError(
         f"reference checkpoint import not implemented for {network}")

@@ -46,3 +46,38 @@ def test_alternet50_transfer_matches_reference():
     out = enc.apply({"params": params, "batch_stats": stats},
                     x_nhwc, train=False)
     np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_swin34_transfer_matches_reference():
+    add_reference_to_path()
+    import timm_shim
+    timm_shim.install()
+    import torch
+    from nets.SwinV2 import Swin34 as RefSwin34
+
+    from fr_tpu.models.swinv2 import build_swin
+    from fr_tpu.utils.torch_import import swin_from_torch
+
+    torch.manual_seed(1)
+    ref = RefSwin34(Config(emd_size=512))
+    ref.eval()
+
+    conf = Config(network="Swin34", emd_size=512, mixed_precision=False)
+    enc = build_swin(conf)
+    params, stats = swin_from_torch(ref.state_dict(), "Swin34")
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 3, 112, 112)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x)).numpy()
+
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    init_vars = jax.eval_shape(
+        lambda: enc.init(jax.random.key(0), x_nhwc, train=False))
+    assert (jax.tree.structure(jax.tree.map(np.asarray, params))
+            == jax.tree.structure(init_vars["params"]))
+
+    out = enc.apply({"params": params, "batch_stats": stats},
+                    x_nhwc, train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-2, atol=2e-2)
