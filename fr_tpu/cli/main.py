@@ -157,16 +157,28 @@ def test(args):
 
     tests = {}
     if args.synthetic:
-        pairs, same = synthetic_pairs(256, args.synthetic_classes,
-                                      conf.img_size)
         conf.n_classes = args.synthetic_classes
-
-        class _P:
-            def batches(self, b):
-                for s in range(0, len(same), b):
-                    yield pairs[s:s + b], same[s:s + b]
-        tests["synthetic"] = _P()
         conf.test_dataset = ["synthetic"]
+        if conf.test_type == "pair":
+            pairs, same = synthetic_pairs(256, args.synthetic_classes,
+                                          conf.img_size)
+
+            class _P:
+                def batches(self, b):
+                    for s in range(0, len(same), b):
+                        yield pairs[s:s + b], same[s:s + b]
+            tests["synthetic"] = _P()
+        else:  # cross: flat image list + identity labels
+            from fr_tpu.data import synthetic_corpus
+            imgs, labels = synthetic_corpus(args.synthetic_classes, 4,
+                                            conf.img_size)
+            imgs_f = (imgs.astype("float32") / 255.0 - 0.5) / 0.5
+
+            class _C:
+                def batches(self, b):
+                    for s in range(0, len(labels), b):
+                        yield imgs_f[s:s + b], labels[s:s + b]
+            tests["synthetic"] = _C()
     else:
         for name, d in zip(conf.test_dataset, conf.test_dataset_dir):
             try:

@@ -48,6 +48,22 @@ def test_cli_train_folder_and_checkpoint(tmp_path, monkeypatch):
     assert "Epoch 1/6" in log
 
 
+def test_cli_cross_test_mode_synthetic(tmp_path, monkeypatch):
+    """N(N−1)/2 cross matching (reference utils/trainer.py:136-142)."""
+    monkeypatch.chdir(tmp_path)
+    cli_main([
+        "--config", "lfw", "--mode", "test", "--network", "ResNet18",
+        "--test_type", "cross", "--synthetic", "--synthetic_classes", "6",
+        "--img_size", "16", "--batch", "12",
+        "--save_root", str(tmp_path / "save"),
+    ])
+    run = list((tmp_path / "save").iterdir())[0]
+    log = (run / "log.txt").read_text()
+    assert '[Test with "synthetic"]' in log
+    # 24 images → 276 cross pairs
+    assert "Total count = 276" in log
+
+
 def test_cli_test_mode_synthetic(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cli_main([

@@ -36,3 +36,32 @@ def test_cosine_warmup_restarts_matches_reference(cycle, warmup, gamma,
         our_lrs.append(ours(epoch))
         ref.step()  # stepped per epoch (reference model/FR_PartialFC.py:318)
     np.testing.assert_allclose(our_lrs, ref_lrs, rtol=1e-10)
+
+
+def test_multistep_matches_torch():
+    import torch
+    from fr_tpu.train.schedule import multistep
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.1)
+    ref = torch.optim.lr_scheduler.MultiStepLR(
+        opt, milestones=[8, 12, 16, 20, 40], gamma=0.95)
+    ours = multistep(0.1, [8, 12, 16, 20, 40], 0.95)
+    for epoch in range(50):
+        np.testing.assert_allclose(ours(epoch), opt.param_groups[0]["lr"],
+                                   rtol=1e-10)
+        ref.step()
+
+
+def test_steplr_matches_torch():
+    import torch
+    from fr_tpu.train.schedule import step_lr
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.1)
+    ref = torch.optim.lr_scheduler.StepLR(opt, step_size=5, gamma=0.5)
+    ours = step_lr(0.1, 5, 0.5)
+    for epoch in range(23):
+        np.testing.assert_allclose(ours(epoch), opt.param_groups[0]["lr"],
+                                   rtol=1e-10)
+        ref.step()
