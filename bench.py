@@ -60,7 +60,7 @@ def main():
 
     mesh = make_mesh()
     n_chips = mesh.devices.size
-    use_fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    use_fused = os.environ.get("BENCH_FUSED", "0") == "1"
     pfc_cfg = PFCConfig(
         num_classes=conf.n_classes, embedding_size=conf.emd_size,
         model_size=mesh.shape["model"], sample_rate=conf.sample_rate,

@@ -44,10 +44,10 @@ from fr_tpu.utils.logger import print_log
 
 
 def pfc_config_from_conf(conf, model_size: int) -> PFCConfig:
-    use_fused = conf.get("use_fused")
-    if use_fused is None:
-        from fr_tpu.ops.fused_pfc import fused_available
-        use_fused = fused_available()
+    # The fused Pallas CE kernel wins head-only microbenchmarks (1.8× at
+    # C≈87k) but XLA's in-step fusion matches or beats it end-to-end at every
+    # scale measured (−0..3%), so it is opt-in (conf.use_fused=True).
+    use_fused = bool(conf.get("use_fused", False))
     return PFCConfig(
         num_classes=conf.n_classes, embedding_size=conf.emd_size,
         model_size=model_size, sample_rate=conf.get("sample_rate", 1.0),
