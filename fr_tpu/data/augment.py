@@ -70,46 +70,54 @@ def _hls_to_rgb(h, l, s):
     return jnp.stack([r1 + m, g1 + m, b1 + m], axis=-1)
 
 
-def _line_kernel(angle, ksize: int):
-    """Normalised line kernel through the center at `angle` (MotionBlur)."""
-    r = (ksize - 1) / 2.0
-    ys = jnp.linspace(-r, r, ksize)
-    xs = jnp.linspace(-r, r, ksize)
-    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-    # distance from pixel center to the line through origin at `angle`
-    d = jnp.abs(-jnp.sin(angle) * xx + jnp.cos(angle) * yy)
-    k = (d <= 0.5).astype(jnp.float32)
-    return k / jnp.maximum(k.sum(), 1.0)
+def _motion_blur_batch(x, key):
+    """Batched random line blur: ONE depthwise conv for the whole batch with
+    per-sample 7×7 line kernels (random angle; effective ksize ∈ {3,5,7} by
+    masking the kernel to the central k×k window). Replaces a per-sample
+    lax.switch over conv branches, which serialises on TPU.
 
-
-def _motion_blur_one(img, key):
-    """Per-image random line blur; ksize randomly 3/5/7 via lax.switch."""
+    x: (B, H, W, 3) float."""
+    B, H, W, C = x.shape
+    kmax = BLUR_SIZES[-1]
     k_angle, k_size = jax.random.split(key)
-    angle = jax.random.uniform(k_angle, (), minval=0.0, maxval=jnp.pi)
-    branch = jax.random.randint(k_size, (), 0, len(BLUR_SIZES))
+    angle = jax.random.uniform(k_angle, (B, 1, 1), minval=0.0, maxval=jnp.pi)
+    ks = jnp.asarray(BLUR_SIZES)[jax.random.randint(k_size, (B,), 0,
+                                                    len(BLUR_SIZES))]
+    r = (kmax - 1) / 2.0
+    yy = jnp.arange(kmax, dtype=jnp.float32)[None, :, None] - r
+    xx = jnp.arange(kmax, dtype=jnp.float32)[None, None, :] - r
+    d = jnp.abs(-jnp.sin(angle) * xx + jnp.cos(angle) * yy)  # (B, 7, 7)
+    half = ((ks - 1) // 2).astype(jnp.float32)[:, None, None]
+    inside = (jnp.abs(yy) <= half) & (jnp.abs(xx) <= half)
+    kern = ((d <= 0.5) & inside).astype(jnp.float32)
+    kern = kern / jnp.maximum(kern.sum(axis=(1, 2), keepdims=True), 1.0)
 
-    def blur(ksize: int):
-        def f(x):
-            kern = _line_kernel(angle, ksize)
-            kern = jnp.broadcast_to(kern[:, :, None, None],
-                                    (ksize, ksize, 1, 3))
-            return jax.lax.conv_general_dilated(
-                x[None], kern, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=3)[0]
-        return f
-
-    return jax.lax.switch(branch, [blur(k) for k in BLUR_SIZES], img)
+    # (B, H, W, C) → (1, H, W, B·C); per-sample-per-channel depthwise filters
+    xt = x.transpose(1, 2, 0, 3).reshape(1, H, W, B * C)
+    filt = jnp.repeat(kern[:, :, :, None], C, axis=3)      # (B, 7, 7, C)
+    filt = filt.transpose(1, 2, 0, 3).reshape(kmax, kmax, 1, B * C)
+    out = jax.lax.conv_general_dilated(
+        xt, filt, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=B * C)
+    return out.reshape(H, W, B, C).transpose(2, 0, 1, 3)
 
 
-def _iso_noise_one(img01, key, color_shift, intensity):
-    """albumentations.functional.iso_noise on one [0,1] float image."""
+def _iso_noise_batch(img01, key, color_shift, intensity):
+    """albumentations.functional.iso_noise, batched (B, H, W, 3).
+
+    The luminance Poisson(λ) draw is approximated by max(N(λ, λ), 0) — true
+    Poisson sampling uses data-dependent rejection loops that serialise on
+    TPU; λ = per-image-std·intensity·255 is large enough for the Gaussian
+    moment match (documented divergence from albumentations)."""
     k_pois, k_col = jax.random.split(key)
     h, l, s = _rgb_to_hls(img01)
-    stddev = jnp.std(l)
-    lam = jnp.maximum(stddev * intensity * 255.0, 1e-6)
-    lum_noise = jax.random.poisson(k_pois, lam, l.shape).astype(jnp.float32)
-    col_noise = jax.random.normal(k_col, h.shape) * (color_shift * 360.0 * intensity)
+    stddev = jnp.std(l, axis=(1, 2), keepdims=True)
+    lam = jnp.maximum(stddev * intensity[:, None, None] * 255.0, 1e-6)
+    lum_noise = jnp.maximum(
+        lam + jnp.sqrt(lam) * jax.random.normal(k_pois, l.shape), 0.0)
+    col_noise = jax.random.normal(k_col, h.shape) * (
+        (color_shift * 360.0 * intensity)[:, None, None])
     h = h + col_noise
     l = l + (lum_noise / 255.0) * (1.0 - l)
     out = _hls_to_rgb(h, jnp.clip(l, 0.0, 1.0), s)
@@ -136,14 +144,13 @@ def augment_impl(key, images_u8, cfg) -> jnp.ndarray:
 
     # MotionBlur (reference :143)
     do_b = jax.random.uniform(keys[2], (B, 1, 1, 1)) < blur_p
-    blurred = jax.vmap(_motion_blur_one)(x, jax.random.split(keys[3], B))
+    blurred = _motion_blur_batch(x, keys[3])
     x = jnp.where(do_b, blurred, x)
 
     # ISONoise (reference :144)
-    k_iso = jax.random.split(keys[4], B)
     cs = jax.random.uniform(keys[4], (B,), minval=cs_lo, maxval=cs_hi)
     it = jax.random.uniform(keys[5], (B,), minval=in_lo, maxval=in_hi)
-    noised = jax.vmap(_iso_noise_one)(x, k_iso, cs, it)
+    noised = _iso_noise_batch(x, jax.random.fold_in(keys[4], 1), cs, it)
     do_n = jax.random.uniform(keys[5], (B, 1, 1, 1)) < iso_p
     x = jnp.where(do_n, noised, x)
 

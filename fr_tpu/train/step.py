@@ -95,12 +95,6 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
         row_size = model_size * b_loc
 
         dev_linear = didx * model_size + midx
-        if augment_cfg is not None:
-            from fr_tpu.data.augment import augment_impl
-            k_aug = jax.random.fold_in(
-                jax.random.fold_in(jax.random.fold_in(key, 7919), state.step),
-                dev_linear)
-            images = augment_impl(k_aug, images, augment_cfg)
         # dropout / stochastic-depth rng (AlterNet/Swin heads use Dropout and
         # DropPath; reference nets/AlterNet_SwinV2_FAN.py:668, :427)
         k_drop = jax.random.fold_in(
@@ -223,10 +217,24 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
         )
         return jax.jit(mapped, donate_argnums=donate_args)
 
+    # On-device augmentation runs as its OWN jitted dispatch feeding the step
+    # (uint8 in → normalised f32 out, device-resident). Inlining it into the
+    # train-step program trips an XLA:TPU scheduling pathology (measured 40×
+    # step slow-down); as a separate program it costs ~5 ms at b=256.
+    if augment_cfg is not None:
+        from fr_tpu.data.augment import augment_impl
+
+        @jax.jit
+        def _augment(key, step_no, images):
+            k = jax.random.fold_in(jax.random.fold_in(key, 7919), step_no)
+            return augment_impl(k, images, augment_cfg)
+
     def step(state, images, labels, lr, key):
         nonlocal compiled
         if compiled is None:
             compiled = build(state)
+        if augment_cfg is not None:
+            images = _augment(key, state.step, images)
         lr = jnp.asarray(lr, jnp.float32)
         return compiled(state, images, labels, lr, key)
 
@@ -261,11 +269,6 @@ def make_gspmd_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
 
     def step_impl(state: TrainState, images, labels, lr, key):
         images = constrain(images, BATCH_SPEC)
-        if augment_cfg is not None:
-            from fr_tpu.data.augment import augment_impl
-            k_aug = jax.random.fold_in(jax.random.fold_in(key, 7919),
-                                       state.step)
-            images = augment_impl(k_aug, images, augment_cfg)
         k_drop = jax.random.fold_in(jax.random.fold_in(key, 104729),
                                     state.step)
 
@@ -342,7 +345,17 @@ def make_gspmd_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
 
     compiled = jax.jit(step_impl, donate_argnums=(0,) if donate else ())
 
+    if augment_cfg is not None:
+        from fr_tpu.data.augment import augment_impl
+
+        @jax.jit
+        def _augment(key, step_no, images):
+            k = jax.random.fold_in(jax.random.fold_in(key, 7919), step_no)
+            return augment_impl(k, images, augment_cfg)
+
     def step(state, images, labels, lr, key):
+        if augment_cfg is not None:
+            images = _augment(key, state.step, images)
         return compiled(state, images, labels, jnp.asarray(lr, jnp.float32),
                         key)
 
