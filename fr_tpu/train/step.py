@@ -71,10 +71,10 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
 
     Returns step(state, images, labels, lr, key) -> (state, metrics) with
       images : (global_B, H, W, C) float32 — or uint8 when augment_cfg is
-               given, in which case the fused augmentation pipeline
+               given, in which case the batched augmentation pipeline
                (fr_tpu/data/augment.py, replacing the reference's
                albumentations CPU transforms utils/data_partial.py:134-164)
-               runs on device at the start of the step
+               runs on device as its own jitted dispatch feeding the step
       labels : (global_B,) int32 global class ids, replicated
       lr     : scalar f32 (epoch-stepped schedule, reference utils/trainer.py)
       key    : jax.random key for negative sampling + augmentation
