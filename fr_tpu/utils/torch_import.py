@@ -254,6 +254,116 @@ def swin_from_torch(state_dict: Mapping[str, Any], network: str
     return params, stats
 
 
+def effialternet_from_torch(state_dict: Mapping[str, Any], cfgs,
+                            img_size: int = 112, width_mult: float = 1.0
+                            ) -> Tuple[Dict, Dict]:
+    """Map a reference nets/EffiAlterNet_SwinV2_FAN.py EffNetV2 state_dict
+    onto fr_tpu.models.effialternet.EffNetV2, walking the stage plan with the
+    reference's resolution bookkeeping (which gates SW-MSA placement)."""
+    from fr_tpu.models.effialternet import _make_divisible
+
+    sd = strip_module_prefix(state_dict)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    econv_i = 0
+    bn_i = 0
+    mb_i = 0
+    fan_i = 0
+
+    def put_top_bn(torch_name):
+        nonlocal bn_i
+        p, s = _bn(sd, torch_name)
+        params[f"BatchNorm_{bn_i}"] = {"BatchNorm_0": p}
+        stats[f"BatchNorm_{bn_i}"] = {"BatchNorm_0": s}
+        bn_i += 1
+
+    # stem: features.0 = Sequential(conv, bn, silu)
+    params["EConv_0"] = {"Conv_0": _conv(sd, "features.0.0")}
+    econv_i = 1
+    put_top_bn("features.0.1")
+
+    k = 1  # torch features index
+
+    def put_mbconv(tb, use_se):
+        nonlocal mb_i
+        # SE variant conv indices: 0 conv,1 bn,3 conv(dw),4 bn,6 SE,7 conv,8 bn
+        # no-SE: 0 conv,1 bn,3 conv,4 bn
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+
+        def bn_into(name, torch_name):
+            p, s = _bn(sd, torch_name)
+            bp[name] = {"BatchNorm_0": p}
+            bs[name] = {"BatchNorm_0": s}
+
+        if use_se:
+            bp["EConv_0"] = {"Conv_0": _conv(sd, f"{tb}.conv.0")}
+            bn_into("BatchNorm_0", f"{tb}.conv.1")
+            bp["EConv_1"] = {"Conv_0": _conv(sd, f"{tb}.conv.3")}
+            bn_into("BatchNorm_1", f"{tb}.conv.4")
+            bp["SELayer_0"] = {
+                "Dense_0": _linear(sd, f"{tb}.conv.6.fc.0"),
+                "Dense_1": _linear(sd, f"{tb}.conv.6.fc.2"),
+            }
+            bp["EConv_2"] = {"Conv_0": _conv(sd, f"{tb}.conv.7")}
+            bn_into("BatchNorm_2", f"{tb}.conv.8")
+        else:
+            bp["EConv_0"] = {"Conv_0": _conv(sd, f"{tb}.conv.0")}
+            bn_into("BatchNorm_0", f"{tb}.conv.1")
+            bp["EConv_1"] = {"Conv_0": _conv(sd, f"{tb}.conv.3")}
+            bn_into("BatchNorm_1", f"{tb}.conv.4")
+        params[f"MBConv_{mb_i}"] = bp
+        stats[f"MBConv_{mb_i}"] = bs
+        mb_i += 1
+
+    def put_fan(tb):
+        nonlocal fan_i
+        bp: Dict[str, Any] = {
+            "WindowAttention_0": _swin_attn(sd, f"{tb}.attn"),
+            "ChannelProcessing_0": {
+                "Dense_0": {"kernel": np.transpose(
+                    _t2n(sd[f"{tb}.chnnel_processing.qv.weight"]))},
+                "temperature": _t2n(sd[f"{tb}.chnnel_processing.temperature"]),
+            },
+        }
+        bs: Dict[str, Any] = {}
+        p, s = _bn(sd, f"{tb}.norm2")
+        bp["BatchNorm_0"] = {"BatchNorm_0": p}
+        bs["BatchNorm_0"] = {"BatchNorm_0": s}
+        p, s = _bn(sd, f"{tb}.norm3")
+        bp["BatchNorm_1"] = {"BatchNorm_0": p}
+        bs["BatchNorm_1"] = {"BatchNorm_0": s}
+        params[f"FANSwinBlock_{fan_i}"] = bp
+        stats[f"FANSwinBlock_{fan_i}"] = bs
+        fan_i += 1
+
+    res = img_size
+    window = 7
+    for t, c, n, s_, use_se, n_tr, heads in cfgs:
+        if res > window:
+            num_blocks = 2 * (n // 3) + (n % 3) - 1
+        else:
+            num_blocks = n - 1
+        seq = [False] * num_blocks
+        for i in range(n_tr):
+            seq[-2 * i - 1] = True
+
+        put_mbconv(f"features.{k}", bool(use_se)); k += 1
+        for is_alt in seq:
+            if not is_alt:
+                put_mbconv(f"features.{k}", bool(use_se)); k += 1
+            else:
+                put_fan(f"features.{k}"); k += 1
+                if res > window:
+                    put_fan(f"features.{k}"); k += 1
+        res //= 2
+
+    params["Dense_0"] = _linear(sd, "fc")
+    put_top_bn("bn")
+    return params, stats
+
+
 def load_reference_checkpoint(path: str, network: str) -> Tuple[Dict, Dict]:
     """Load a reference `{epoch}_epoch_encoder.pth` checkpoint
     (reference utils/trainer.py:111-115)."""
@@ -266,5 +376,8 @@ def load_reference_checkpoint(path: str, network: str) -> Tuple[Dict, Dict]:
         return alternet_from_torch(sd, network)
     if "Swin" in network:
         return swin_from_torch(sd, network)
+    if "EffiAlter" in network:
+        from fr_tpu.models.effialternet import EFFIALTER_CFGS
+        return effialternet_from_torch(sd, EFFIALTER_CFGS[network])
     raise NotImplementedError(
         f"reference checkpoint import not implemented for {network}")

@@ -49,6 +49,46 @@ def test_alternet50_transfer_matches_reference():
 
 
 @pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_effialternet_transfer_matches_reference():
+    """Tiny custom cfg with a FAN transformer stage exercises MBConv(±SE),
+    SELayer, WindowAttention and ChannelProcessing transfer."""
+    add_reference_to_path()
+    import timm_shim
+    timm_shim.install()
+    import torch
+    from nets.EffiAlterNet_SwinV2_FAN import EffNetV2 as RefEffNetV2
+
+    from fr_tpu.models.effialternet import EffNetV2
+    from fr_tpu.utils.torch_import import effialternet_from_torch
+
+    cfgs = [
+        [1, 16, 2, 1, 0, 0, 2],
+        [2, 24, 2, 2, 1, 0, 2],
+        [2, 32, 3, 2, 1, 1, 4],
+    ]
+    torch.manual_seed(2)
+    ref = RefEffNetV2([list(c) for c in cfgs], n_classes=32,
+                      input_resolution=(56, 56))
+    ref.eval()
+
+    enc = EffNetV2(cfgs=cfgs, img_size=56, emd_size=32)
+    params, stats = effialternet_from_torch(ref.state_dict(), cfgs,
+                                            img_size=56)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x)).numpy()
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    init_vars = jax.eval_shape(
+        lambda: enc.init(jax.random.key(0), x_nhwc, train=False))
+    assert (jax.tree.structure(jax.tree.map(np.asarray, params))
+            == jax.tree.structure(init_vars["params"]))
+    out = enc.apply({"params": params, "batch_stats": stats},
+                    x_nhwc, train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
 def test_swin34_transfer_matches_reference():
     add_reference_to_path()
     import timm_shim
