@@ -16,11 +16,9 @@ utils/trainer.py:107-115, SURVEY §5):
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import numpy as np
 
 

@@ -15,7 +15,6 @@ Differences from the reference by design:
 from __future__ import annotations
 
 import argparse
-import json
 import time
 from pathlib import Path
 

@@ -19,7 +19,6 @@ normalised with mean .5 / std .5.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Iterator, Optional, Tuple
 

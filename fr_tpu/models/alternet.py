@@ -22,7 +22,6 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from fr_tpu.models.common import BatchNorm, Conv, Dense, max_pool_3x3_s2

@@ -10,7 +10,7 @@ dense kernels, BN gamma=1 beta=0, dense bias=0 (reference nets/resnet.py:201-209
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,14 +21,13 @@ Re-design of reference nets/EffiAlterNet_SwinV2_FAN.py:
 
 from __future__ import annotations
 
-import math
 from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from fr_tpu.models.common import BatchNorm, Dense, matmul_precision
+from fr_tpu.models.common import BatchNorm, matmul_precision
 from fr_tpu.models.swin_common import (
     DropPath,
     WindowAttention,

@@ -19,7 +19,7 @@ NHWC, bf16-compute / fp32-param:
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -27,7 +27,6 @@ import argparse
 import sys
 from pathlib import Path
 
-import numpy as np
 
 HAAR_PATHS = [
     "/usr/share/opencv4/haarcascades/haarcascade_frontalface_default.xml",

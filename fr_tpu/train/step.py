@@ -28,8 +28,7 @@ Two lowering modes sharing one implementation (`_device_step`):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

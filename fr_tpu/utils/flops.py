@@ -8,10 +8,8 @@ the MXU work that dominates encoder cost — for roofline reporting
 from __future__ import annotations
 
 import math
-from typing import Any
 
 import jax
-import numpy as np
 
 
 def _dot_flops(eqn) -> float:
