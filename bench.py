@@ -73,10 +73,20 @@ def main():
     state = jax.jit(lambda k: init_train_state(
         k, conf, encoder, pfc_cfg, conf.img_size))(jax.random.key(0))
     jax.block_until_ready(jax.tree.leaves(state.params)[0])
-    step = make_train_step(conf, mesh, encoder, pfc_cfg)
 
+    # BENCH_AUGMENT=1: uint8 inputs + the full on-device augmentation pipeline
+    augment = os.environ.get("BENCH_AUGMENT", "0") == "1"
+    aug_cfg = None
     rng = np.random.default_rng(0)
-    x = rng.standard_normal((batch, conf.img_size, conf.img_size, 3)).astype(np.float32)
+    if augment:
+        from fr_tpu.data.augment import augment_cfg_from_conf
+        aug_cfg = augment_cfg_from_conf(conf)
+        x = rng.integers(0, 256, (batch, conf.img_size, conf.img_size, 3)
+                         ).astype(np.uint8)
+    else:
+        x = rng.standard_normal(
+            (batch, conf.img_size, conf.img_size, 3)).astype(np.float32)
+    step = make_train_step(conf, mesh, encoder, pfc_cfg, augment_cfg=aug_cfg)
     y = rng.integers(0, conf.n_classes, batch).astype(np.int32)
     xs, ys = shard_batch(mesh, x, y)
 
@@ -118,9 +128,11 @@ def main():
         roofline_imgs = peak / (flops_per_step / batch)
         vs_baseline = imgs_per_sec / roofline_imgs
 
+    aug_tag = ", on-device augment" if augment else ""
     print(json.dumps({
         "metric": f"{network}+{conf.metric} train throughput "
-                  f"(b={batch}, C={n_classes}, r={conf.sample_rate}, bf16)",
+                  f"(b={batch}, C={n_classes}, r={conf.sample_rate}, "
+                  f"bf16{aug_tag})",
         "value": round(imgs_per_sec_chip, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,
