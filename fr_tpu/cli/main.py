@@ -36,6 +36,8 @@ def parse_args(argv=None):
     # fr_tpu extensions
     p.add_argument("--data_dir", type=str, default=None,
                    help="override conf.train_dataset_dir")
+    p.add_argument("--packed_dir", type=str, default=None,
+                   help="train from a packed corpus (tools/pack_dataset)")
     p.add_argument("--num_epoch", type=int, default=None)
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--img_size", type=int, default=None)
@@ -110,10 +112,15 @@ def _loaders(args, conf, mesh):
                     yield pairs[s:s + b], same[s:s + b]
         vals = {"synthetic": _P()}
         return train, vals
-    index = ImageFolderIndex(conf.train_dataset_dir)
-    conf.n_classes = index.num_classes
-    train = TrainLoader(index, conf.b, conf.img_size,
-                        prefetch=conf.get("num_workers", 4))
+    if args.packed_dir:
+        from fr_tpu.data import PackedTrainLoader
+        train = PackedTrainLoader(args.packed_dir, conf.b)
+        conf.n_classes = train.num_classes
+    else:
+        index = ImageFolderIndex(conf.train_dataset_dir)
+        conf.n_classes = index.num_classes
+        train = TrainLoader(index, conf.b, conf.img_size,
+                            prefetch=conf.get("num_workers", 4))
     vals = {}
     for name, d in zip(conf.val_dataset, conf.val_dataset_dir):
         try:
