@@ -75,6 +75,15 @@ class Trainer:
                 t0 = time.time()
                 train_outputs.append(task.training_step(batch))
                 running_t += time.time() - t0
+            # steps dispatch asynchronously (the torch reference syncs every
+            # step by pulling loss to numpy, model/FR_PartialFC.py:190-192);
+            # fetch the final loss inside the timed region so the epoch time
+            # and imgs/sec are honest without serialising the pipeline.
+            if train_outputs:
+                import numpy as _np
+                t0 = time.time()
+                float(_np.asarray(train_outputs[-1]["loss"]))
+                running_t += time.time() - t0
             if profiling:
                 jax.profiler.stop_trace()
                 profiling = False
