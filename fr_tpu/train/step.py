@@ -62,6 +62,20 @@ try:  # jax>=0.6 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+# Disjoint RNG stream tags, folded FIRST so the derived fold_in chains live
+# in separate subtrees and can never collide across streams (a step counter
+# folded at the same depth as a constant tag can reach the tag's value).
+STREAM_SAMPLE = 0
+STREAM_AUGMENT = 1
+STREAM_DROPOUT = 2
+
+
+def stream_key(key, stream: int, *folds):
+    k = jax.random.fold_in(key, stream)
+    for f in folds:
+        k = jax.random.fold_in(k, f)
+    return k
+
 
 def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
                     donate: bool = True,
@@ -96,9 +110,7 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
         dev_linear = didx * model_size + midx
         # dropout / stochastic-depth rng (AlterNet/Swin heads use Dropout and
         # DropPath; reference nets/AlterNet_SwinV2_FAN.py:668, :427)
-        k_drop = jax.random.fold_in(
-            jax.random.fold_in(jax.random.fold_in(key, 104729), state.step),
-            dev_linear)
+        k_drop = stream_key(key, STREAM_DROPOUT, state.step, dev_linear)
 
         # ---- negative sampling (no grad; reference nets/PartialFC.py:92-131).
         # Positives are forced in from the *global* batch so the sampled set
@@ -111,7 +123,7 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
             pos_mask = jnp.zeros((num_local,), jnp.int32).at[
                 jnp.where(owned_all, loc_all, 0)].max(
                 owned_all.astype(jnp.int32)) > 0
-            k = jax.random.fold_in(jax.random.fold_in(key, state.step), midx)
+            k = stream_key(key, STREAM_SAMPLE, state.step, midx)
             idx = sample_columns(pfc_cfg, k, pos_mask, valid)
             col_valid = valid[idx]
             w_rows = take_rows(state.pfc.weight, idx)
@@ -176,9 +188,11 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
 
         # Head: sampled-row update on the local shard (functional stand-in for
         # the reference's optimizer-state swap, nets/PartialFC.py:120-143).
+        # The head keeps its own AdamW step counter like the reference's
+        # PartialFCAdamW.step (nets/PartialFC.py:297,327).
         new_w, new_slots = pfc_row_update(
             optimizer, conf, state.pfc.weight, state.pfc.slots, idx, g_rows,
-            lr, count)
+            lr, state.pfc.count + 1)
 
         new_state = state.replace(
             step=state.step + 1,
@@ -225,7 +239,7 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
 
         @jax.jit
         def _augment(key, step_no, images):
-            k = jax.random.fold_in(jax.random.fold_in(key, 7919), step_no)
+            k = stream_key(key, STREAM_AUGMENT, step_no)
             return augment_impl(k, images, augment_cfg)
 
     def step(state, images, labels, lr, key):
@@ -268,13 +282,12 @@ def make_gspmd_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
 
     def step_impl(state: TrainState, images, labels, lr, key):
         images = constrain(images, BATCH_SPEC)
-        k_drop = jax.random.fold_in(jax.random.fold_in(key, 104729),
-                                    state.step)
+        k_drop = stream_key(key, STREAM_DROPOUT, state.step)
 
         valid = jnp.arange(C_pad) < pfc_cfg.num_classes
         if pfc_cfg.sampling:
             pos = jnp.zeros((C_pad,), jnp.int32).at[labels].max(1) > 0
-            k0 = jax.random.fold_in(key, state.step)
+            k0 = stream_key(key, STREAM_SAMPLE, state.step)
             # same per-shard RNG stream as the shard_map path (fold_in(midx))
             perm = jnp.stack([
                 jax.random.uniform(jax.random.fold_in(k0, m), (num_local,))
@@ -324,15 +337,16 @@ def make_gspmd_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
         new_params, new_opt = encoder_update(
             optimizer, conf, state.params, g_enc, state.opt_slots, lr, count)
 
+        head_count = state.pfc.count + 1
         if pfc_cfg.sampling:
             from fr_tpu.train.optim import pfc_row_update_grouped
             new_w, new_slots = pfc_row_update_grouped(
                 optimizer, conf, state.pfc.weight, state.pfc.slots, idx2d,
-                g_rows, lr, count, M)
+                g_rows, lr, head_count, M)
         else:
             new_w, new_slots = pfc_row_update(
                 optimizer, conf, state.pfc.weight, state.pfc.slots, None,
-                g_rows, lr, count)
+                g_rows, lr, head_count)
         new_w = constrain(new_w, CLASS_SPEC_P)
 
         new_state = state.replace(
@@ -349,7 +363,7 @@ def make_gspmd_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
 
         @jax.jit
         def _augment(key, step_no, images):
-            k = jax.random.fold_in(jax.random.fold_in(key, 7919), step_no)
+            k = stream_key(key, STREAM_AUGMENT, step_no)
             return augment_impl(k, images, augment_cfg)
 
     def step(state, images, labels, lr, key):
@@ -362,14 +376,22 @@ def make_gspmd_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
 
 
 def make_embed_step(conf, mesh: Mesh, encoder) -> Callable:
-    """Inference/validation embedding step: encoder in eval mode (BN running
-    stats), L2-normalised output (reference model/FR_PartialFC.py:196-218)."""
+    """Inference/validation embedding step: optional device resize to
+    conf.img_size (the reference resizes val pairs per item,
+    utils/data_partial.py:88), encoder in eval mode (BN running stats),
+    L2-normalised output (reference model/FR_PartialFC.py:196-218).
+    This is THE eval path — FaceRecognitionTask uses it too."""
+    img_size = conf.img_size
 
     @jax.jit
     def embed(params, batch_stats, images):
         if mesh.devices.size > 1:
             images = lax.with_sharding_constraint(
                 images, NamedSharding(mesh, BATCH_SPEC))
+        if images.shape[1] != img_size:
+            images = jax.image.resize(
+                images, (images.shape[0], img_size, img_size,
+                         images.shape[-1]), "bilinear")
         emb = encoder.apply({"params": params, "batch_stats": batch_stats},
                             images, train=False)
         return l2_normalize(emb.astype(jnp.float32))

@@ -70,9 +70,23 @@ class FaceRecognitionTask:
         self.epoch = 0
         self.key = jax.random.key(seed)
 
-        self.state = jax.jit(lambda k: init_train_state(
-            k, conf, self.encoder, self.pfc_cfg, conf.img_size)
-        )(jax.random.key(seed))
+        # init with explicit out_shardings so the class-sharded head (and its
+        # optimizer slots) never materialise replicated on one device — at
+        # PartialFC scale (2M ids, AdamW) the replicated init alone would OOM
+        # a 16 GB chip even though the sharded program fits.
+        from jax.sharding import NamedSharding
+        from fr_tpu.train.state import state_partition_specs
+
+        def _init(k):
+            return init_train_state(k, conf, self.encoder, self.pfc_cfg,
+                                    conf.img_size)
+
+        abstract = jax.eval_shape(_init, jax.random.key(seed))
+        specs = state_partition_specs(abstract)
+        out_shardings = jax.tree.map(lambda s: NamedSharding(self.mesh, s),
+                                     specs)
+        self.state = jax.jit(_init, out_shardings=out_shardings)(
+            jax.random.key(seed))
 
         # Optional weight transfer (reference model/FR_PartialFC.py:76-90).
         if conf.get("ckpt_path"):
@@ -100,24 +114,13 @@ class FaceRecognitionTask:
             self._train_step = make_train_step(conf, self.mesh, self.encoder,
                                                self.pfc_cfg,
                                                augment_cfg=aug_cfg)
-        self._embed = jax.jit(self._embed_impl)
+        from fr_tpu.train.step import make_embed_step
+        self._embed = make_embed_step(conf, self.mesh, self.encoder)
 
         self.min_level = conf.min_level
         self.max_level = conf.max_level
         self.val_msg: Dict[str, Config] = {}
         self.test_msg: Dict[str, Config] = {}
-
-    # ------------------------------------------------------------------
-    def _embed_impl(self, params, batch_stats, images):
-        """Eval-mode embedding (reference model/FR_PartialFC.py:196-218)."""
-        if images.shape[1] != self.conf.img_size:
-            images = jax.image.resize(
-                images, (images.shape[0], self.conf.img_size,
-                         self.conf.img_size, images.shape[-1]), "bilinear")
-        emb = self.encoder.apply(
-            {"params": params, "batch_stats": batch_stats}, images,
-            train=False)
-        return l2_normalize(emb.astype(jnp.float32))
 
     # ------------------------------------------------------------------
     # Training

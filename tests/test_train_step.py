@@ -202,7 +202,8 @@ def test_sampled_step_grads_match_dense_oracle():
         embs.append(np.asarray(emb))
     emb_all = l2_normalize(jnp.asarray(np.concatenate(embs)))
 
-    k0 = jax.random.fold_in(key, state.step)
+    from fr_tpu.train.step import STREAM_SAMPLE, stream_key
+    k0 = stream_key(key, STREAM_SAMPLE, state.step)
     all_idx, all_cols, all_valid = [], [], []
     for m in range(model):
         valid = shard_valid_mask(pfc_cfg, m)
