@@ -95,8 +95,9 @@ def make_save_dir(args, conf) -> Path:
 
 
 def _loaders(args, conf, mesh):
-    from fr_tpu.data import (ArrayTrainLoader, ImageFolderIndex, PairDataset,
-                             TrainLoader, synthetic_corpus, synthetic_pairs)
+    from fr_tpu.data import (ArrayPairDataset, ArrayTrainLoader,
+                             ImageFolderIndex, PairDataset, TrainLoader,
+                             synthetic_corpus, synthetic_pairs)
     if args.synthetic:
         imgs, labels = synthetic_corpus(args.synthetic_classes, 8,
                                         conf.img_size)
@@ -105,16 +106,16 @@ def _loaders(args, conf, mesh):
         train = ArrayTrainLoader(imgs, labels, conf.b)
         pairs, same = synthetic_pairs(256, args.synthetic_classes,
                                       conf.img_size)
-
-        class _P:
-            def batches(self, b):
-                for s in range(0, len(same), b):
-                    yield pairs[s:s + b], same[s:s + b]
-        vals = {"synthetic": _P()}
-        return train, vals
+        return train, {"synthetic": ArrayPairDataset(pairs, same)}
     if args.packed_dir:
         from fr_tpu.data import PackedTrainLoader
         train = PackedTrainLoader(args.packed_dir, conf.b)
+        packed_size = train.images.shape[1]
+        if packed_size != conf.img_size:
+            raise ValueError(
+                f"packed corpus is {packed_size}px but conf.img_size is "
+                f"{conf.img_size}; repack with --img_size {conf.img_size} "
+                f"or pass --img_size {packed_size}")
         conf.n_classes = train.num_classes
     else:
         index = ImageFolderIndex(conf.train_dataset_dir)
@@ -166,14 +167,10 @@ def test(args):
         conf.n_classes = args.synthetic_classes
         conf.test_dataset = ["synthetic"]
         if conf.test_type == "pair":
+            from fr_tpu.data import ArrayPairDataset
             pairs, same = synthetic_pairs(256, args.synthetic_classes,
                                           conf.img_size)
-
-            class _P:
-                def batches(self, b):
-                    for s in range(0, len(same), b):
-                        yield pairs[s:s + b], same[s:s + b]
-            tests["synthetic"] = _P()
+            tests["synthetic"] = ArrayPairDataset(pairs, same)
         else:  # cross: flat image list + identity labels
             from fr_tpu.data import synthetic_corpus
             imgs, labels = synthetic_corpus(args.synthetic_classes, 4,

@@ -3,6 +3,7 @@ from fr_tpu.data.folder import ArrayTrainLoader, ImageFolderIndex, TrainLoader  
 from fr_tpu.data.packed import PackedTrainLoader, pack_image_folder  # noqa: F401
 from fr_tpu.data.pairs import CrossDataset, PairDataset  # noqa: F401
 from fr_tpu.data.synthetic import (  # noqa: F401
+    ArrayPairDataset,
     synthetic_corpus,
     synthetic_pairs,
     write_synthetic_folder,

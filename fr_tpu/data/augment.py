@@ -21,7 +21,7 @@ albumentations isn't RNG-compatible with JAX):
 - ISONoise: HLS decomposition; hue jitter ~ N(0, color_shift·360·intensity),
   luminance Poisson noise scaled by per-image std — matching
   albumentations.functional.iso_noise.
-- CoarseDropout: one hole with size ~ U(1..max_h)×U(1..max_w), zero fill
+- CoarseDropout: one hole of exactly max_h×max_w, zero fill
   (fill happens after Normalize in the reference order, so the hole is 0 in
   normalised space).
 """
@@ -134,7 +134,7 @@ def augment_impl(key, images_u8, cfg) -> jnp.ndarray:
     (g_lo, g_hi, g_p, blur_p, cs_lo, cs_hi, in_lo, in_hi, iso_p,
      flip_p, erase_p, emax_h, emax_w) = cfg
     B, H, W, _ = images_u8.shape
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 12)
     x = images_u8.astype(jnp.float32) / 255.0
 
     # RandomGamma (reference utils/data_partial.py:139)
@@ -147,11 +147,12 @@ def augment_impl(key, images_u8, cfg) -> jnp.ndarray:
     blurred = _motion_blur_batch(x, keys[3])
     x = jnp.where(do_b, blurred, x)
 
-    # ISONoise (reference :144)
+    # ISONoise (reference :144) — independent keys for the parameter draws,
+    # the noise bits, and the apply gate
     cs = jax.random.uniform(keys[4], (B,), minval=cs_lo, maxval=cs_hi)
     it = jax.random.uniform(keys[5], (B,), minval=in_lo, maxval=in_hi)
-    noised = _iso_noise_batch(x, jax.random.fold_in(keys[4], 1), cs, it)
-    do_n = jax.random.uniform(keys[5], (B, 1, 1, 1)) < iso_p
+    noised = _iso_noise_batch(x, keys[8], cs, it)
+    do_n = jax.random.uniform(keys[9], (B, 1, 1, 1)) < iso_p
     x = jnp.where(do_n, noised, x)
 
     # HorizontalFlip (reference :150)
@@ -161,11 +162,12 @@ def augment_impl(key, images_u8, cfg) -> jnp.ndarray:
     # Normalize mean .5 std .5 (reference :151-156)
     x = (x - 0.5) / 0.5
 
-    # CoarseDropout: 1 hole ≤ emax_h×emax_w, fill 0 in normalised space
-    # (reference :157-162)
+    # CoarseDropout: 1 hole of exactly emax_h×emax_w, fill 0 in normalised
+    # space (reference :157-162; albumentations defaults min_height to
+    # max_height, so the reference hole is always exactly 20×20)
     ke = jax.random.split(keys[7], 5)
-    hh = jax.random.randint(ke[0], (B, 1, 1), 1, emax_h + 1)
-    ww = jax.random.randint(ke[1], (B, 1, 1), 1, emax_w + 1)
+    hh = jnp.full((B, 1, 1), emax_h, jnp.int32)
+    ww = jnp.full((B, 1, 1), emax_w, jnp.int32)
     y0 = jax.random.randint(ke[2], (B, 1, 1), 0, jnp.maximum(H - emax_h, 1))
     x0 = jax.random.randint(ke[3], (B, 1, 1), 0, jnp.maximum(W - emax_w, 1))
     do_e = jax.random.uniform(ke[4], (B, 1, 1)) < erase_p

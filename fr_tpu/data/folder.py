@@ -90,6 +90,17 @@ class TrainLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # stop-aware put: never block forever if the consumer abandoned
+            # the epoch (exception / interrupt) while the queue is full
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for s in range(nsteps):
@@ -103,10 +114,11 @@ class TrainLoader:
                         path, lab = self.index.samples[int(i)]
                         imgs[j] = _decode_resize(path, self.img_size)
                         labels[j] = lab
-                    q.put((imgs, labels))
-                q.put(None)
+                    if not put((imgs, labels)):
+                        return
+                put(None)
             except BaseException as e:  # surface decode errors to the consumer
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

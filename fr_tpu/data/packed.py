@@ -27,7 +27,6 @@ def pack_image_folder(src_root: str, dst_root: str, img_size: int,
                       log_every: int = 1000) -> int:
     """Convert a CustomImageFolder-layout corpus (<src>/imgs/<class>/*) into
     the packed format. Returns the number of images packed."""
-    import cv2
     from fr_tpu.data.folder import ImageFolderIndex, _decode_resize
 
     index = ImageFolderIndex(src_root)

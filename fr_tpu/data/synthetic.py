@@ -51,3 +51,18 @@ def write_synthetic_folder(root: str, n_classes: int, per_class: int,
         d.mkdir(parents=True, exist_ok=True)
         cv2.imwrite(str(d / f"{i:06d}.jpg"),
                     cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+
+class ArrayPairDataset:
+    """In-memory pair dataset with the PairDataset batching interface."""
+
+    def __init__(self, pairs: np.ndarray, labels: np.ndarray):
+        self.pairs = pairs
+        self.labels = labels
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+    def batches(self, batch_size: int):
+        for s in range(0, len(self.labels), batch_size):
+            yield self.pairs[s:s + batch_size], self.labels[s:s + batch_size]

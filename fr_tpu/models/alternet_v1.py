@@ -17,9 +17,12 @@ for inventory completeness.
   (reference :514), single attention block per slot;
 - stem conv3x3 s1 (112px), head BN→Dropout→GAP(7,7)→FC→BN1d (reference
   :476-493);
-- post_norm=True moves the FeedForward norm after the residual — the sole
-  delta of nets/AlterNet_post_norm.py (its Transformer/MLP blocks are not on
-  any model path there either; the conv-path ordering is what differs).
+Note on nets/AlterNet_post_norm.py (C11): its only delta vs nets/AlterNet.py
+is the FeedForward norm ordering inside the 1-D Transformer block
+(post_norm.py:205-206), which is NOT on any model path in either file (the
+live blocks are AttentionBasicBlockB, which have no FeedForward). The
+variant is therefore behaviourally identical to this model and needs no
+separate implementation.
 """
 
 from __future__ import annotations
@@ -147,7 +150,6 @@ class AlterNetV1(nn.Module):
     num_blocks2: Sequence[int]
     heads: Sequence[int]
     emd_size: int = 512
-    post_norm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -199,4 +201,4 @@ def build_alternet_v1(conf) -> AlterNetV1:
     dtype = jnp.bfloat16 if conf.get("mixed_precision", False) else jnp.float32
     return AlterNetV1(num_blocks=blocks, num_blocks2=blocks2,
                       heads=(3, 6, 12, 24), emd_size=conf.emd_size,
-                      post_norm=conf.get("post_norm", False), dtype=dtype)
+                      dtype=dtype)

@@ -140,7 +140,11 @@ class ChannelProcessing(nn.Module):
         N = H * W
         hd = C // self.num_heads
         t = x.reshape(B, N, C)
-        qv = nn.Dense(2 * C, use_bias=False, kernel_init=trunc02,
+        # the reference block constructs ChannelProcessing with
+        # qkv_bias=True (nets/EffiAlterNet_SwinV2_FAN.py:411-415), so the
+        # qv projection carries a bias
+        qv = nn.Dense(2 * C, use_bias=True, kernel_init=trunc02,
+                      bias_init=jax.nn.initializers.zeros,
                       dtype=self.dtype, param_dtype=jnp.float32,
                       precision=matmul_precision(self.dtype))(
             t.astype(self.dtype))

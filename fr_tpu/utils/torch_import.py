@@ -323,7 +323,8 @@ def effialternet_from_torch(state_dict: Mapping[str, Any], cfgs,
             "WindowAttention_0": _swin_attn(sd, f"{tb}.attn"),
             "ChannelProcessing_0": {
                 "Dense_0": {"kernel": np.transpose(
-                    _t2n(sd[f"{tb}.chnnel_processing.qv.weight"]))},
+                    _t2n(sd[f"{tb}.chnnel_processing.qv.weight"])),
+                    "bias": _t2n(sd[f"{tb}.chnnel_processing.qv.bias"])},
                 "temperature": _t2n(sd[f"{tb}.chnnel_processing.temperature"]),
             },
         }

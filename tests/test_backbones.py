@@ -90,7 +90,9 @@ def test_channel_processing_matches_reference():
 
     dim, heads = 16, 4
     torch.manual_seed(1)
-    ref = RefCP(dim, num_heads=heads)
+    # the reference FAN block constructs ChannelProcessing with qkv_bias=True
+    # (nets/EffiAlterNet_SwinV2_FAN.py:411-415)
+    ref = RefCP(dim, num_heads=heads, qkv_bias=True)
     ref.eval()
     rng = np.random.default_rng(1)
     x = rng.standard_normal((2, dim, 8, 8)).astype(np.float32)
@@ -100,7 +102,8 @@ def test_channel_processing_matches_reference():
     cp = ChannelProcessing(dim, heads)
     sd = ref.state_dict()
     params = {
-        "Dense_0": {"kernel": sd["qv.weight"].numpy().T},
+        "Dense_0": {"kernel": sd["qv.weight"].numpy().T,
+                    "bias": sd["qv.bias"].numpy()},
         "temperature": sd["temperature"].numpy(),
     }
     x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
