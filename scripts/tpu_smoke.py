@@ -1,0 +1,103 @@
+"""One-command TPU acceptance check (run from the repo root).
+
+Covers the surfaces the CPU test suite cannot: the fused Pallas kernels'
+real (Mosaic-compiled) lowering, and steady-state training throughput on the
+attached chip. Exits non-zero on any failure.
+
+    python scripts/tpu_smoke.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if jax.default_backend() != "tpu":
+        print(f"SKIP: backend is {jax.default_backend()}, not tpu")
+        return 0
+
+    from fr_tpu.heads.partial_fc import PFCConfig, shard_softmax_ce
+    from fr_tpu.models.common import l2_normalize
+    from fr_tpu.ops.fused_pfc import fused_margin_softmax_ce
+
+    # 1. fused Pallas kernel vs XLA path — fwd + grads, real lowering
+    rng = np.random.default_rng(0)
+    N, K, D = 256, 26007, 512
+    emb = l2_normalize(jnp.asarray(
+        rng.standard_normal((N, D)).astype(np.float32)))
+    w = jnp.asarray(0.05 * rng.standard_normal((K, D)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(-1, K, N).astype(np.int32))
+    cv = jnp.asarray(np.arange(K) < K - 7)
+    cfg = PFCConfig(K, D, 1, 1.0, "ArcFace", 30.0, 0.35, True, "SGD")
+
+    f_ref = jax.jit(jax.value_and_grad(
+        lambda e, ww: shard_softmax_ce(cfg, e, labels, ww, cv, None).mean(),
+        argnums=(0, 1)))
+    f_fus = jax.jit(jax.value_and_grad(
+        lambda e, ww: fused_margin_softmax_ce(
+            l2_normalize(e), l2_normalize(ww), labels, cv, cfg, None,
+            (128, 512)).mean(), argnums=(0, 1)))
+    lr_, (ger, gwr) = f_ref(emb, w)
+    lf_, (gef, gwf) = f_fus(emb, w)
+    assert abs(float(lf_) - float(lr_)) < 1e-4 * abs(float(lr_)), \
+        f"fused loss mismatch {float(lf_)} vs {float(lr_)}"
+    ge_err = float(jnp.max(jnp.abs(gef - ger)))
+    gw_err = float(jnp.max(jnp.abs(gwf - gwr)))
+    assert ge_err < 5e-4 and gw_err < 5e-4, (ge_err, gw_err)
+    print(f"fused kernel parity ok (loss {float(lf_):.6f}, "
+          f"ge_err {ge_err:.1e}, gw_err {gw_err:.1e})")
+
+    # 2. five R50 train steps from synthetic identities — loss must descend
+    from fr_tpu.configs import load_config
+    from fr_tpu.parallel import make_mesh
+    from fr_tpu.train import init_train_state, make_train_step
+    from fr_tpu.train.step import shard_batch
+    from fr_tpu.models import build_encoder
+    from fr_tpu.train.task import pfc_config_from_conf
+
+    conf = load_config("ms1m_arcface_122", network="ResNet50")
+    conf.n_classes = 64
+    conf.sample_rate = 0.5
+    mesh = make_mesh()
+    pfc = pfc_config_from_conf(conf, mesh.shape["model"])
+    enc = build_encoder(conf)
+    state = jax.jit(lambda k: init_train_state(
+        k, conf, enc, pfc, conf.img_size))(jax.random.key(0))
+    step = make_train_step(conf, mesh, enc, pfc)
+
+    templates = rng.standard_normal((64, 112, 112, 3)).astype(np.float32)
+    y = rng.integers(0, 64, 128).astype(np.int32)
+    x = (templates[y] + 0.3 * rng.standard_normal(
+        (128, 112, 112, 3))).astype(np.float32)
+    xs, ys = shard_batch(mesh, x, y)
+    losses = []
+    for i in range(8):
+        state, m = step(state, xs, ys, 0.5, jax.random.key(1))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0], losses
+    print(f"train smoke ok (loss {losses[0]:.3f} -> {losses[-1]:.3f})")
+
+    # 3. steady-state throughput sanity (R50, warm cache)
+    t0 = time.perf_counter()
+    for i in range(10):
+        state, m = step(state, xs, ys, 0.5, jax.random.key(1))
+    final = float(m["loss"])
+    dt = time.perf_counter() - t0
+    ips = 128 * 10 / dt
+    print(f"throughput sanity: {ips:.0f} imgs/sec (R50 b=128)")
+    assert np.isfinite(final)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
