@@ -95,21 +95,27 @@ def make_save_dir(args, conf) -> Path:
 
 
 def _loaders(args, conf, mesh):
+    import jax
     from fr_tpu.data import (ArrayPairDataset, ArrayTrainLoader,
                              ImageFolderIndex, PairDataset, TrainLoader,
                              synthetic_corpus, synthetic_pairs)
+    # process-sharded loading under multi-host (the reference's
+    # DistributedSampler role, utils/data_partial.py:273)
+    pidx, pcnt = jax.process_index(), jax.process_count()
     if args.synthetic:
         imgs, labels = synthetic_corpus(args.synthetic_classes, 8,
                                         conf.img_size)
         conf.n_classes = args.synthetic_classes
         conf.val_dataset = ["synthetic"]
-        train = ArrayTrainLoader(imgs, labels, conf.b)
+        train = ArrayTrainLoader(imgs, labels, conf.b,
+                                 process_index=pidx, process_count=pcnt)
         pairs, same = synthetic_pairs(256, args.synthetic_classes,
                                       conf.img_size)
         return train, {"synthetic": ArrayPairDataset(pairs, same)}
     if args.packed_dir:
         from fr_tpu.data import PackedTrainLoader
-        train = PackedTrainLoader(args.packed_dir, conf.b)
+        train = PackedTrainLoader(args.packed_dir, conf.b,
+                                  process_index=pidx, process_count=pcnt)
         packed_size = train.images.shape[1]
         if packed_size != conf.img_size:
             raise ValueError(
@@ -121,7 +127,8 @@ def _loaders(args, conf, mesh):
         index = ImageFolderIndex(conf.train_dataset_dir)
         conf.n_classes = index.num_classes
         train = TrainLoader(index, conf.b, conf.img_size,
-                            prefetch=conf.get("num_workers", 4))
+                            prefetch=conf.get("num_workers", 4),
+                            process_index=pidx, process_count=pcnt)
     vals = {}
     for name, d in zip(conf.val_dataset, conf.val_dataset_dir):
         try:

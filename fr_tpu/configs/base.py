@@ -47,6 +47,8 @@ NETWORKS = [
     "AlterNet18", "AlterNet34", "AlterNet50", "AlterNet100", "AlterNet200",
     "AlterNetV1_18", "AlterNetV1_34", "AlterNetV1_50", "AlterNetV1_100",
     "AlterNetV1_200",
+    "AlterNetSep18", "AlterNetSep34", "AlterNetSep50", "AlterNetSep100",
+    "AlterNetSep200",
     "Swin18", "Swin34", "Swin50", "Swin100", "Swin200",
     "EffiAlter_s", "EffiAlter_m", "EffiAlter_l", "EffiAlter_xl",
 ]
@@ -130,7 +132,11 @@ def validate(conf: Config) -> None:
 
 def default_img_size(network: str) -> int:
     """AlterNet hybrids use a stride-2 stem, hence 192px; everything else 112
-    (reference main/main.py:102)."""
+    (reference main/main.py:102). The Seperate ablation variant
+    (nets/AlterNet_SwinV2_FAN_Seperate.py) has a stride-1 stem and window-7
+    blocks at stage resolutions 56/28/14/7, so it is a 112px network."""
+    if "AlterNetSep" in network:
+        return 112
     return 192 if "AlterNet" in network else 112
 
 

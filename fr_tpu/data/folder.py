@@ -70,15 +70,28 @@ def _decode_resize(path: str, img_size: int) -> np.ndarray:
 class TrainLoader:
     """Epoch iterator of (uint8 images (B,H,W,3), int32 labels (B,)) with a
     background prefetch thread (the reference uses torch DataLoader workers,
-    utils/data_partial.py:271-278)."""
+    utils/data_partial.py:271-278).
+
+    Multi-host: pass process_index/process_count (the reference's
+    DistributedSampler role, utils/data_partial.py:273). batch_size is the
+    GLOBAL batch; every process draws the identical epoch-seeded permutation,
+    decodes only its contiguous local slice of each global batch, and yields
+    (local images (B/P,H,W,3), GLOBAL labels (B,)) — labels come from the
+    index, not from decoding, so the full vector is free on every process
+    and shard_batch can replicate it without a collective.
+    """
 
     def __init__(self, index: ImageFolderIndex, batch_size: int,
-                 img_size: int, seed: int = 0, prefetch: int = 4):
+                 img_size: int, seed: int = 0, prefetch: int = 4,
+                 process_index: int = 0, process_count: int = 1):
+        assert batch_size % process_count == 0, (batch_size, process_count)
         self.index = index
         self.batch_size = batch_size
         self.img_size = img_size
         self.seed = seed
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
 
     def steps_per_epoch(self) -> int:
         return len(self.index) // self.batch_size  # drop_last=True
@@ -87,6 +100,8 @@ class TrainLoader:
         rng = np.random.default_rng(self.seed + epoch)  # set_epoch equivalent
         order = rng.permutation(len(self.index))
         nsteps = self.steps_per_epoch()
+        b_loc = self.batch_size // self.process_count
+        lo = self.process_index * b_loc
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -107,13 +122,15 @@ class TrainLoader:
                     if stop.is_set():
                         return
                     sel = order[s * self.batch_size:(s + 1) * self.batch_size]
-                    imgs = np.empty((len(sel), self.img_size, self.img_size, 3),
-                                    np.uint8)
-                    labels = np.empty(len(sel), np.int32)
-                    for j, i in enumerate(sel):
-                        path, lab = self.index.samples[int(i)]
-                        imgs[j] = _decode_resize(path, self.img_size)
-                        labels[j] = lab
+                    # global labels from the index alone (no decode needed)
+                    labels = np.array(
+                        [self.index.samples[int(i)][1] for i in sel], np.int32)
+                    local = sel[lo:lo + b_loc]  # this process's image slice
+                    imgs = np.empty((len(local), self.img_size, self.img_size,
+                                     3), np.uint8)
+                    for j, i in enumerate(local):
+                        imgs[j] = _decode_resize(self.index.samples[int(i)][0],
+                                                 self.img_size)
                     if not put((imgs, labels)):
                         return
                 put(None)
@@ -135,15 +152,21 @@ class TrainLoader:
 
 
 class ArrayTrainLoader:
-    """In-memory variant (synthetic data, tests, benchmark corpora)."""
+    """In-memory variant (synthetic data, tests, benchmark corpora).
+    Multi-host semantics identical to TrainLoader: local image slice,
+    global labels."""
 
     def __init__(self, images: np.ndarray, labels: np.ndarray,
-                 batch_size: int, seed: int = 0):
+                 batch_size: int, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1):
         assert images.dtype == np.uint8 and images.ndim == 4
+        assert batch_size % process_count == 0, (batch_size, process_count)
         self.images = images
         self.labels = labels.astype(np.int32)
         self.batch_size = batch_size
         self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
 
     def steps_per_epoch(self) -> int:
         return len(self.images) // self.batch_size
@@ -151,6 +174,8 @@ class ArrayTrainLoader:
     def epoch(self, epoch: int):
         rng = np.random.default_rng(self.seed + epoch)
         order = rng.permutation(len(self.images))
+        b_loc = self.batch_size // self.process_count
+        lo = self.process_index * b_loc
         for s in range(self.steps_per_epoch()):
             sel = order[s * self.batch_size:(s + 1) * self.batch_size]
-            yield self.images[sel], self.labels[sel]
+            yield self.images[sel[lo:lo + b_loc]], self.labels[sel]

@@ -53,7 +53,9 @@ class PackedTrainLoader:
     (DistributedSampler.set_epoch equivalent, reference utils/trainer.py:72),
     drop_last batches, native memcpy gather when available."""
 
-    def __init__(self, root: str, batch_size: int, seed: int = 0):
+    def __init__(self, root: str, batch_size: int, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1):
+        assert batch_size % process_count == 0, (batch_size, process_count)
         root_p = Path(root)
         self.images = np.load(str(root_p / "images.npy"), mmap_mode="r")
         self.labels = np.load(str(root_p / "labels.npy"))
@@ -62,6 +64,8 @@ class PackedTrainLoader:
                         if classes_file.exists() else None)
         self.batch_size = batch_size
         self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
 
     @property
     def num_classes(self) -> int:
@@ -77,9 +81,13 @@ class PackedTrainLoader:
         rng = np.random.default_rng(self.seed + epoch)
         order = rng.permutation(len(self.labels))
         bs = self.batch_size
+        b_loc = bs // self.process_count
+        lo = self.process_index * b_loc
         for s in range(self.steps_per_epoch()):
             sel = np.sort(order[s * bs:(s + 1) * bs])  # sorted → sequential IO
-            imgs = native.gather_u8_native(self.images, sel)
+            local = sel[lo:lo + b_loc]  # this process's image slice
+            imgs = native.gather_u8_native(self.images, local)
             if imgs is None:
-                imgs = np.ascontiguousarray(self.images[sel])
+                imgs = np.ascontiguousarray(self.images[local])
+            # GLOBAL labels (multi-host contract of shard_batch)
             yield imgs, self.labels[sel].astype(np.int32)

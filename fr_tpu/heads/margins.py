@@ -88,10 +88,15 @@ def combined_margin(logits: jnp.ndarray, labels: jnp.ndarray, s: float,
     raise ValueError(f"Unsupported combined margin (m1={m1}, m2={m2}, m3={m3})")
 
 
-def get_margin_fn(name: str, s: float, m: float):
-    """Margin dispatch by conf.metric (reference model/FR_PartialFC.py uses ArcFace)."""
+def get_margin_fn(name: str, s: float, m: float, easy_margin: bool = False):
+    """Margin dispatch by conf.metric (reference model/FR_PartialFC.py uses ArcFace).
+
+    easy_margin maps conf.easy_margin (reference configs/ms1m_arcface_122.py:180)
+    to ArcFace's monotone-fallback choice (reference nets/ArcFace.py:71-85);
+    CosFace has no such flag.
+    """
     if name == "ArcFace":
-        return partial(arcface, s=s, m=m)
+        return partial(arcface, s=s, m=m, easy_margin=easy_margin)
     if name == "CosFace":
         return partial(cosface, s=s, m=m)
     raise ValueError(f"Unknown margin {name!r}")

@@ -58,6 +58,7 @@ class PFCConfig:
     optimizer: str = "SGD"       # 'SGD' | 'AdamW' (reference model/FR_PartialFC.py:102-109)
     use_fused: bool = False      # fused Pallas margin-softmax-CE kernel
     fused_tiles: Tuple[int, int] = (128, 512)
+    easy_margin: bool = False    # conf.easy_margin (reference nets/ArcFace.py:71-85)
 
     @property
     def num_classes_padded(self) -> int:
@@ -80,7 +81,7 @@ class PFCConfig:
         return self.num_sample < self.num_local
 
     def margin_fn(self) -> Callable:
-        return get_margin_fn(self.margin, self.s, self.m)
+        return get_margin_fn(self.margin, self.s, self.m, self.easy_margin)
 
 
 class PFCState(struct.PyTreeNode):

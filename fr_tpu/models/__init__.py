@@ -11,6 +11,9 @@ def build_encoder(conf):
     if "AlterNetV1" in name:
         from fr_tpu.models.alternet_v1 import build_alternet_v1
         return build_alternet_v1(conf)
+    if "AlterNetSep" in name:
+        from fr_tpu.models.alternet import build_alternet_sep
+        return build_alternet_sep(conf)
     if "AlterNet" in name:
         from fr_tpu.models.alternet import build_alternet
         return build_alternet(conf)

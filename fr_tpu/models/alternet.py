@@ -98,6 +98,10 @@ class AlterNet(nn.Module):
     heads: Sequence[int]
     img_size: int = 192
     emd_size: int = 512
+    # reference defaults (AlterNet_SwinV2_FAN.py:427 drop_path, :668 Dropout);
+    # zeroable so training-dynamics parity tests can run deterministically
+    drop_path_rate: float = 0.1
+    head_drop: float = 0.5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -123,14 +127,17 @@ class AlterNet(nn.Module):
                     x = BasicBlock(planes, 1, dtype=self.dtype)(x, train)
                 else:
                     x = AlterSwinBlock(planes, planes, heads, (res, res),
-                                       window=win, dtype=self.dtype)(x, train)
+                                       window=win,
+                                       drop_path=self.drop_path_rate,
+                                       dtype=self.dtype)(x, train)
                     x = AlterSwinBlock(planes, planes, heads, (res, res),
                                        window=win, shift=win // 2,
+                                       drop_path=self.drop_path_rate,
                                        dtype=self.dtype)(x, train)
 
         x = BatchNorm()(x, use_running_average=not train)
         x = nn.relu(x)
-        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dropout(self.head_drop, deterministic=not train)(x)
         x = x.astype(jnp.float32)
         x = adaptive_avg_pool(x, 6, 6)
         # flatten in torch NCHW order for checkpoint transferability
@@ -157,3 +164,78 @@ def build_alternet(conf) -> AlterNet:
     return AlterNet(num_blocks=blocks, num_blocks2=blocks2, heads=heads,
                     img_size=conf.img_size, emd_size=conf.emd_size,
                     dtype=dtype)
+
+
+def alt_sequence_sep(blocks: int, blocks2: int) -> Sequence[bool]:
+    """Seperate-variant placement (reference
+    nets/AlterNet_SwinV2_FAN_Seperate.py:533): blocks−1 slots after the
+    strided block, SINGLE transformer blocks (not W/SW pairs) at every other
+    slot from the end."""
+    return [False] * (blocks - blocks2 * 2 - 1) + [False, True] * blocks2
+
+
+class AlterNetSep(nn.Module):
+    """The 'Seperate' architecture-ablation AlterNet (reference
+    nets/AlterNet_SwinV2_FAN_Seperate.py:476-565): ResNet-shaped — stride-1
+    stem (112px input), stages of IR BasicBlocks with single unshifted
+    window-7 SwinV2 blocks placed by alt_sequence_sep, head
+    BN → Dropout → GAP(7,7) → Dense(emd·49 → emd) → BN1d (no ReLU).
+    Dead in the reference dispatch but a distinct, constructible network
+    (inventory C11)."""
+    num_blocks: Sequence[int]
+    num_blocks2: Sequence[int]
+    heads: Sequence[int]
+    emd_size: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = Conv(64, kernel=3, stride=1, dtype=self.dtype)(x)
+        x = BatchNorm()(x, use_running_average=not train)
+        x = nn.relu(x)
+        x = max_pool_3x3_s2(x)
+
+        planes_per_stage = (64, 128, 256, self.emd_size)
+        strides = (1, 2, 2, 2)
+        for planes, blocks, blocks2, heads, stride in zip(
+                planes_per_stage, self.num_blocks, self.num_blocks2,
+                self.heads, strides):
+            x = BasicBlock(planes, stride, dtype=self.dtype)(x, train)
+            for is_alt in alt_sequence_sep(blocks, blocks2):
+                if not is_alt:
+                    x = BasicBlock(planes, 1, dtype=self.dtype)(x, train)
+                else:
+                    # window_size=7, shift_size=0, drop_path=0 defaults
+                    # (reference :189-194,543 — stack_layers passes only heads)
+                    x = AlterSwinBlock(planes, planes, heads,
+                                       (x.shape[1], x.shape[2]), window=7,
+                                       shift=0, drop_path=0.0,
+                                       dtype=self.dtype)(x, train)
+
+        x = BatchNorm()(x, use_running_average=not train)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = x.astype(jnp.float32)
+        x = adaptive_avg_pool(x, 7, 7)
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+        x = Dense(self.emd_size, dtype=jnp.float32)(x)
+        x = BatchNorm()(x, use_running_average=not train)
+        return x
+
+
+ALTERNET_SEP_PLANS = {
+    # reference nets/AlterNet_SwinV2_FAN_Seperate.py:570-644 — note the 50
+    # plan differs from the active AlterNet50 ([3,4,14,3]/[0,1,7,2]).
+    "AlterNetSep18": ((2, 2, 2, 2), (0, 1, 1, 1), (2, 4, 8, 16)),
+    "AlterNetSep34": ((3, 4, 6, 3), (0, 1, 3, 2), (2, 4, 8, 16)),
+    "AlterNetSep50": ((3, 4, 14, 3), (0, 1, 7, 2), (2, 4, 8, 16)),
+    "AlterNetSep100": ((3, 13, 30, 4), (0, 1, 1, 2), (2, 4, 8, 16)),
+    "AlterNetSep200": ((3, 43, 50, 3), (0, 1, 3, 2), (2, 4, 8, 16)),
+}
+
+
+def build_alternet_sep(conf) -> AlterNetSep:
+    blocks, blocks2, heads = ALTERNET_SEP_PLANS[conf.network]
+    dtype = jnp.bfloat16 if conf.get("mixed_precision", False) else jnp.float32
+    return AlterNetSep(num_blocks=blocks, num_blocks2=blocks2, heads=heads,
+                       emd_size=conf.emd_size, dtype=dtype)

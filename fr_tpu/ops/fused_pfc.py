@@ -85,8 +85,14 @@ def _match_cotangent_vma(cot, primal):
     return cot
 
 
-def _margin_consts(margin: str, m: float):
+def _margin_consts(margin: str, m: float, easy_margin: bool = False):
     if margin == "ArcFace":
+        # easy_margin (reference nets/ArcFace.py:71-85) is the hard-margin
+        # formula with fallback threshold 0 and fallback value z itself,
+        # i.e. theta=0, sinmm=0 — no separate kernel branch needed.
+        if easy_margin:
+            return dict(cos_m=math.cos(m), sin_m=math.sin(m),
+                        theta=0.0, sinmm=0.0)
         return dict(cos_m=math.cos(m), sin_m=math.sin(m),
                     theta=math.cos(math.pi - m),
                     sinmm=math.sin(math.pi - m) * m)
@@ -259,7 +265,7 @@ def _stats_jnp(emb, w, label_cols, col_valid, cfg):
     """jnp equivalent of the forward kernel (off-TPU fallback; identical
     semantics, used under interpret-mode meshes where in-kernel vma checks
     reject mixed-variance constants)."""
-    mc = _margin_consts(cfg.margin, cfg.m)
+    mc = _margin_consts(cfg.margin, cfg.m, getattr(cfg, "easy_margin", False))
     compute = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
     raw = jnp.dot(emb.astype(compute), w.astype(compute).T,
                   preferred_element_type=jnp.float32)
@@ -275,7 +281,7 @@ def _stats_jnp(emb, w, label_cols, col_valid, cfg):
 
 
 def _bwd_jnp(emb, w, label_cols, col_valid, m_g, d_g, g, cfg):
-    mc = _margin_consts(cfg.margin, cfg.m)
+    mc = _margin_consts(cfg.margin, cfg.m, getattr(cfg, "easy_margin", False))
     compute = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
     raw = jnp.dot(emb.astype(compute), w.astype(compute).T,
                   preferred_element_type=jnp.float32)
@@ -310,7 +316,7 @@ def _stats(emb, w, label_cols, col_valid, cfg, tiles):
     cv = _pad_rows(col_valid.astype(jnp.float32).reshape(-1, 1), kt)
     nb = emb_p.shape[0] // bt
     nk = w_p.shape[0] // kt
-    mc = _margin_consts(cfg.margin, cfg.m)
+    mc = _margin_consts(cfg.margin, cfg.m, getattr(cfg, "easy_margin", False))
     compute = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
     emb_p, w_p, lab_p, cv = _align_vma(emb_p, w_p, lab_p, cv)
 
@@ -380,7 +386,7 @@ def _bwd_rule(cfg, model_axis, tiles, res, g):
     g_p = _pad_rows(g.reshape(-1, 1), bt)
     nb = emb_p.shape[0] // bt
     nk = w_p.shape[0] // kt
-    mc = _margin_consts(cfg.margin, cfg.m)
+    mc = _margin_consts(cfg.margin, cfg.m, getattr(cfg, "easy_margin", False))
     compute = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
     emb_p, w_p, lab_p, cv, m_p, d_p, g_p = _align_vma(
         emb_p, w_p, lab_p, cv, m_p, d_p, g_p)

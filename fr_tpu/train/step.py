@@ -400,7 +400,34 @@ def make_embed_step(conf, mesh: Mesh, encoder) -> Callable:
 
 
 def shard_batch(mesh: Mesh, images, labels):
-    """Device-put a host batch: images sharded over the batch dim, labels
-    replicated (tiny; keeps the sampled class set provably replicated)."""
-    return (jax.device_put(images, NamedSharding(mesh, BATCH_SPEC)),
-            jax.device_put(labels, NamedSharding(mesh, P())))
+    """Assemble a global device batch from host arrays.
+
+    Single process: device_put — images sharded over the batch dim, labels
+    replicated (tiny; keeps the sampled class set provably replicated).
+
+    Multi process (jax.process_count() > 1): each process holds only its
+    LOCAL slice of the global image batch (the loader shards by process, the
+    reference's DistributedSampler role — utils/data_partial.py:273) but the
+    FULL global label vector (labels come from the sampler index, not from
+    decoding, so every process computes them identically from the shared
+    epoch-seeded permutation). `jax.make_array_from_process_local_data`
+    assembles the jax.Array spanning non-addressable devices — a plain
+    device_put of a host-global array cannot (each process only owns its
+    local devices).
+    """
+    img_sharding = NamedSharding(mesh, BATCH_SPEC)
+    lab_sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        nproc = jax.process_count()
+        global_shape = (images.shape[0] * nproc,) + images.shape[1:]
+        assert labels.shape[0] == global_shape[0], (
+            f"multi-process shard_batch needs GLOBAL labels "
+            f"({global_shape[0]}) alongside local images ({images.shape[0]}) "
+            f"— use a process-sharded loader (TrainLoader(process_index=...))")
+        imgs = jax.make_array_from_process_local_data(
+            img_sharding, images, global_shape)
+        labs = jax.make_array_from_process_local_data(
+            lab_sharding, labels, labels.shape)
+        return imgs, labs
+    return (jax.device_put(images, img_sharding),
+            jax.device_put(labels, lab_sharding))

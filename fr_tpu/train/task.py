@@ -53,7 +53,8 @@ def pfc_config_from_conf(conf, model_size: int) -> PFCConfig:
         model_size=model_size, sample_rate=conf.get("sample_rate", 1.0),
         margin=conf.metric, s=conf.loss_s, m=conf.loss_m,
         mixed_precision=conf.mixed_precision, optimizer=conf.optimizer_name,
-        use_fused=bool(use_fused))
+        use_fused=bool(use_fused),
+        easy_margin=bool(conf.get("easy_margin", False)))
 
 
 class FaceRecognitionTask:

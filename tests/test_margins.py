@@ -66,6 +66,36 @@ def test_combined_margin_arcface_form_matches_reference():
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_arcface_easy_margin_matches_reference():
+    """conf.easy_margin=True path (reference nets/ArcFace.py:72,81-82)."""
+    add_reference_to_path()
+    import torch
+    from nets.ArcFace import ArcFace as RefArcFace
+
+    rng = np.random.default_rng(3)
+    logits, labels = _rand_logits(rng)
+    ref_mod = RefArcFace(s=30.0, margin=0.35)
+    ref_mod.easy_margin = True
+    ref = ref_mod(torch.tensor(logits.copy()), torch.tensor(labels)).numpy()
+    ours = np.asarray(arcface(jnp.asarray(logits), jnp.asarray(labels),
+                              s=30.0, m=0.35, easy_margin=True))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_easy_margin_threads_through_pfc_config():
+    """PFCConfig.easy_margin must reach the margin fn (VERDICT missing #3)."""
+    from fr_tpu.heads.partial_fc import PFCConfig
+
+    cfg = PFCConfig(num_classes=8, embedding_size=4, model_size=1,
+                    easy_margin=True)
+    # A negative target cosine takes the identity fallback under easy_margin
+    # (would be target − sinmm under the hard margin).
+    logits = jnp.array([[-0.5, 0.2]], jnp.float32)
+    out = cfg.margin_fn()(logits, jnp.array([0]))
+    np.testing.assert_allclose(float(out[0, 0]), -0.5 * cfg.s, rtol=1e-6)
+
+
 def test_arcface_hard_margin_fallback():
     # cosθ below cos(π−m) must take the monotone fallback branch.
     logits = jnp.array([[-0.99, 0.5]], jnp.float32)
