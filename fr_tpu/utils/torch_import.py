@@ -29,7 +29,11 @@ def strip_module_prefix(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
 
 def _t2n(t) -> np.ndarray:
     if hasattr(t, "detach"):
-        return t.detach().cpu().numpy()
+        # .copy(): .numpy() returns a VIEW sharing storage with the live
+        # tensor — without it, in-place mutation of the source model (e.g.
+        # opt.step() in a parity test that keeps training the torch side)
+        # silently rewrites the "imported" weights.
+        return t.detach().cpu().numpy().copy()
     return np.asarray(t)
 
 

@@ -32,3 +32,16 @@ def reference_available() -> bool:
 def add_reference_to_path():
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
+
+
+def init_torch_dist():
+    """World-size-1 gloo group for reference-parity tests. file:// store with
+    a per-process unique path — TCP rendezvous collides when several test
+    processes run concurrently."""
+    import tempfile
+    import torch.distributed as dist
+    if not dist.is_initialized():
+        f = tempfile.NamedTemporaryFile(prefix="fr_tpu_gloo_", delete=False)
+        dist.init_process_group(backend="gloo",
+                                init_method=f"file://{f.name}",
+                                rank=0, world_size=1)

@@ -4,7 +4,7 @@ gloo group) and sampling invariants."""
 import numpy as np
 import pytest
 
-from conftest import add_reference_to_path, reference_available
+from conftest import add_reference_to_path, init_torch_dist, reference_available
 
 import jax
 import jax.numpy as jnp
@@ -32,12 +32,8 @@ def test_dense_loss_matches_reference_world1():
     mode, reference main/main.py:262 + nets/PartialFC.py)."""
     add_reference_to_path()
     import torch
-    import torch.distributed as dist
 
-    if not dist.is_initialized():
-        dist.init_process_group(
-            backend="gloo", init_method="tcp://127.0.0.1:29511",
-            rank=0, world_size=1)
+    init_torch_dist()
 
     # the reference hardcodes .cuda(); run it on CPU torch by no-op'ing it
     torch.Tensor.cuda = lambda self, *a, **k: self
