@@ -52,10 +52,12 @@ def parse_args(argv=None):
                    help="call jax.distributed.initialize() (multi-host)")
     p.add_argument("--mesh_data", type=int, default=None)
     p.add_argument("--mesh_model", type=int, default=None)
-    p.add_argument("--spmd_mode", choices=["shard_map", "gspmd"],
-                   default="shard_map",
-                   help="multi-chip lowering: shard_map (reference-faithful "
-                        "local BN) or gspmd (pjit, sync-BN)")
+    p.add_argument("--spmd_mode", choices=["auto", "shard_map", "gspmd"],
+                   default="auto",
+                   help="multi-chip lowering: auto (benchmark both on the "
+                        "first batch, keep the faster — see ROUND2_NOTES), "
+                        "shard_map (reference-faithful local BN) or gspmd "
+                        "(pjit, sync-BN)")
     return p.parse_args(argv)
 
 

@@ -251,6 +251,12 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
         lr = jnp.asarray(lr, jnp.float32)
         return compiled(state, images, labels, lr, key)
 
+    # unjitted single-device body, composable under lax.scan (multi-step
+    # dispatch amortises per-dispatch host/tunnel overhead — scripts/
+    # scan_probe.py measures it; only valid at mesh size 1, the shard_map
+    # body needs axis context)
+    if single:
+        step.device_body = single_device
     return step
 
 

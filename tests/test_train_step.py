@@ -256,3 +256,33 @@ def test_full_softmax_training_descends_adamw():
         state, metrics = step(state, xN, yN, 1e-2, jax.random.key(4))
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_spmd_auto_mode_picks_a_lowering(tmp_path, capsys):
+    """--spmd_mode auto on a multi-device mesh: first training_step
+    benchmarks both lowerings on the real batch, logs the decision, and
+    training proceeds with the winner (VERDICT round-1 next #8)."""
+    from fr_tpu.configs.base import Config
+    from fr_tpu.parallel import make_mesh
+    from fr_tpu.train.task import FaceRecognitionTask
+
+    conf = Config(network="ResNet18", emd_size=32, n_classes=16,
+                  metric="ArcFace", loss_s=30.0, loss_m=0.35, loss="PartialFC",
+                  optimizer_name="SGD", optimizer="SGD", wd=5e-4, mom=0.9,
+                  mixed_precision=False, sample_rate=1.0, img_size=32,
+                  spmd_mode="auto", num_epoch=10, valid_freq=5,
+                  train_dataset="synthetic", min_level=1, max_level=3,
+                  b=16, lr=0.05, lr_scheduler="CosineAnnealingWarmupRestarts",
+                  warmup_steps=5, min_lr=5e-5, gamma=1.0, cycle_mult=1.0)
+    mesh = make_mesh(data=2, model=4)
+    task = FaceRecognitionTask(conf, logger=None, stage="train", mesh=mesh,
+                               augment=False)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 16, 16).astype(np.int32)
+    out1 = task.training_step((x, y))
+    out2 = task.training_step((x, y))
+    assert np.isfinite(float(np.asarray(out1["loss"])))
+    assert np.isfinite(float(np.asarray(out2["loss"])))
+    logged = capsys.readouterr().out
+    assert "[spmd auto]" in logged and "-> using" in logged
