@@ -116,6 +116,24 @@ class TrainLoader:
                     continue
             return False
 
+        def decode_batch(local):
+            paths = [self.index.samples[int(i)][0] for i in local]
+            # native threaded libjpeg pool when every file is a JPEG
+            # (fr_tpu/native/fr_native.cpp decode_jpegs_rgb); cv2 otherwise
+            if all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+                from fr_tpu import native
+                if native.jpeg_available():
+                    blobs = [open(p, "rb").read() for p in paths]
+                    out = native.decode_jpegs_native(blobs, self.img_size)
+                    if out is not None:
+                        return out
+            imgs = np.empty((len(local), self.img_size, self.img_size, 3),
+                            np.uint8)
+            for j, i in enumerate(local):
+                imgs[j] = _decode_resize(self.index.samples[int(i)][0],
+                                         self.img_size)
+            return imgs
+
         def worker():
             try:
                 for s in range(nsteps):
@@ -126,11 +144,7 @@ class TrainLoader:
                     labels = np.array(
                         [self.index.samples[int(i)][1] for i in sel], np.int32)
                     local = sel[lo:lo + b_loc]  # this process's image slice
-                    imgs = np.empty((len(local), self.img_size, self.img_size,
-                                     3), np.uint8)
-                    for j, i in enumerate(local):
-                        imgs[j] = _decode_resize(self.index.samples[int(i)][0],
-                                                 self.img_size)
+                    imgs = decode_batch(local)
                     if not put((imgs, labels)):
                         return
                 put(None)

@@ -32,13 +32,17 @@ def _compile() -> Optional[Path]:
     if so.exists() and so.stat().st_mtime >= _SRC.stat().st_mtime:
         return so
     _BUILD.mkdir(exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-pthread", str(_SRC), "-o", str(so)]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
-        return so
-    except Exception:
-        return None
+    base = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            "-pthread", str(_SRC), "-o", str(so)]
+    # try with the libjpeg decode pool first; fall back to scoring-only
+    for extra in (["-DFR_HAVE_JPEG", "-ljpeg"], []):
+        try:
+            subprocess.run(base + extra, check=True, capture_output=True,
+                           timeout=240)
+            return so
+        except Exception:
+            continue
+    return None
 
 
 def load() -> Optional[ctypes.CDLL]:
@@ -63,6 +67,9 @@ def load() -> Optional[ctypes.CDLL]:
         lib.cross_score_f32.argtypes = [f32p, i64p, i64, i64, f64p, f64p,
                                         f64p, f64p]
         lib.gather_u8.argtypes = [u8p, i64p, i64, i64, u8p]
+        lib.has_jpeg.restype = ctypes.c_int
+        lib.decode_jpegs_rgb.argtypes = [u8p, i64p, i64, i64, u8p, u8p]
+        lib.decode_jpegs_rgb.restype = i64
         _LIB = lib
         return _LIB
 
@@ -103,6 +110,35 @@ def cross_score_native(emb: np.ndarray, labels: np.ndarray
     plab = np.zeros(total, np.float64)
     lib.cross_score_f32(emb, lab, n, d, hg, hi, scores, plab)
     return hg, hi, scores, plab
+
+
+def jpeg_available() -> bool:
+    lib = load()
+    return lib is not None and bool(lib.has_jpeg())
+
+
+def decode_jpegs_native(blobs, out_size: int) -> Optional[np.ndarray]:
+    """Threaded libjpeg decode + bilinear resize of a batch of raw JPEG byte
+    strings → (n, out_size, out_size, 3) uint8 RGB. None if the native
+    decode pool is unavailable or any image failed (caller falls back to
+    cv2 per image)."""
+    lib = load()
+    if lib is None or not lib.has_jpeg():
+        return None
+    n = len(blobs)
+    offsets = np.zeros(n + 1, np.int64)
+    for i, b in enumerate(blobs):
+        offsets[i + 1] = offsets[i] + len(b)
+    blob = np.frombuffer(b"".join(blobs), np.uint8)
+    if blob.size == 0:
+        return None
+    out = np.empty((n, out_size, out_size, 3), np.uint8)
+    ok = np.zeros(n, np.uint8)
+    n_ok = lib.decode_jpegs_rgb(blob, offsets, n, out_size,
+                                out.reshape(n, -1), ok)
+    if int(n_ok) != n:
+        return None
+    return out
 
 
 def gather_u8_native(images: np.ndarray, index: np.ndarray

@@ -18,6 +18,12 @@
 #include <thread>
 #include <vector>
 
+#ifdef FR_HAVE_JPEG
+#include <csetjmp>
+#include <cstdio>
+#include <jpeglib.h>
+#endif
+
 namespace {
 constexpr long kBins = 100001;
 constexpr double kScale = 1e5 - 1.0;
@@ -150,6 +156,150 @@ void gather_u8(const uint8_t* images, const int64_t* index, int64_t n_out,
   };
   for (int t = 0; t < nthreads; ++t) threads.emplace_back(work);
   for (auto& t : threads) t.join();
+}
+
+// ---------------------------------------------------------------------------
+// Threaded JPEG decode + bilinear resize pool (the host input pipeline's
+// hot path; replaces the reference's cv2/albumentations decode inside torch
+// DataLoader workers, reference utils/data_partial.py:134-164). Python hands
+// one batch of raw JPEG bytes (concatenated blob + offsets); each image is
+// decoded with libjpeg and bilinear-resized (half-pixel centers, the
+// cv2.INTER_LINEAR convention) to out_size×out_size RGB uint8.
+// ---------------------------------------------------------------------------
+
+#ifdef FR_HAVE_JPEG
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  std::jmp_buf jump;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  std::longjmp(err->jump, 1);
+}
+
+// decode one JPEG to RGB; returns {w, h} into a caller buffer resized by it
+bool decode_one(const uint8_t* data, int64_t size, std::vector<uint8_t>& px,
+                int* w, int* h) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+               static_cast<unsigned long>(size));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  // OpenCV-style speed settings: fast integer DCT + plain upsampling
+  cinfo.dct_method = JDCT_IFAST;
+  cinfo.do_fancy_upsampling = FALSE;
+  jpeg_start_decompress(&cinfo);
+  *w = cinfo.output_width;
+  *h = cinfo.output_height;
+  px.resize(static_cast<size_t>(*w) * *h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = px.data() + static_cast<size_t>(cinfo.output_scanline)
+                   * *w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// bilinear resize uint8 RGB, half-pixel centers (cv2.INTER_LINEAR sampling)
+void resize_bilinear(const uint8_t* src, int sw, int sh, uint8_t* dst,
+                     int dw, int dh) {
+  if (sw == dw && sh == dh) {
+    std::memcpy(dst, src, static_cast<size_t>(sw) * sh * 3);
+    return;
+  }
+  const float sx = static_cast<float>(sw) / dw;
+  const float sy = static_cast<float>(sh) / dh;
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = static_cast<int>(std::floor(fy));
+    float wy = fy - y0;
+    int y1 = y0 + 1;
+    if (y0 < 0) { y0 = 0; y1 = 0; wy = 0.f; }
+    if (y1 >= sh) { y1 = sh - 1; if (y0 > y1) { y0 = y1; } }
+    for (int x = 0; x < dw; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = static_cast<int>(std::floor(fx));
+      float wx = fx - x0;
+      int x1 = x0 + 1;
+      if (x0 < 0) { x0 = 0; x1 = 0; wx = 0.f; }
+      if (x1 >= sw) { x1 = sw - 1; if (x0 > x1) { x0 = x1; } }
+      const uint8_t* p00 = src + (static_cast<size_t>(y0) * sw + x0) * 3;
+      const uint8_t* p01 = src + (static_cast<size_t>(y0) * sw + x1) * 3;
+      const uint8_t* p10 = src + (static_cast<size_t>(y1) * sw + x0) * 3;
+      const uint8_t* p11 = src + (static_cast<size_t>(y1) * sw + x1) * 3;
+      uint8_t* o = dst + (static_cast<size_t>(y) * dw + x) * 3;
+      for (int c = 0; c < 3; ++c) {
+        float v = (1 - wy) * ((1 - wx) * p00[c] + wx * p01[c]) +
+                  wy * ((1 - wx) * p10[c] + wx * p11[c]);
+        o[c] = static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+}
+
+}  // namespace
+#endif  // FR_HAVE_JPEG
+
+int has_jpeg() {
+#ifdef FR_HAVE_JPEG
+  return 1;
+#else
+  return 0;
+#endif
+}
+
+// Decode n JPEGs (blob + n+1 offsets) to (n, out_size, out_size, 3) uint8
+// RGB. Returns the number decoded successfully; out rows of failed images
+// are zeroed and their ok flag is 0.
+int64_t decode_jpegs_rgb(const uint8_t* blob, const int64_t* offsets,
+                         int64_t n, int64_t out_size, uint8_t* out,
+                         uint8_t* ok) {
+#ifndef FR_HAVE_JPEG
+  (void)blob; (void)offsets; (void)out_size; (void)out;
+  for (int64_t i = 0; i < n; ++i) ok[i] = 0;
+  return 0;
+#else
+  const int64_t item = out_size * out_size * 3;
+  int nthreads = std::min<int64_t>(hardware_threads(), n);
+  std::atomic<int64_t> next(0);
+  std::atomic<int64_t> n_ok(0);
+  auto work = [&]() {
+    std::vector<uint8_t> px;
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      int w = 0, h = 0;
+      bool good = decode_one(blob + offsets[i], offsets[i + 1] - offsets[i],
+                             px, &w, &h);
+      if (!good || w <= 0 || h <= 0) {
+        std::memset(out + i * item, 0, item);
+        ok[i] = 0;
+        continue;
+      }
+      resize_bilinear(px.data(), w, h, out + i * item,
+                      static_cast<int>(out_size), static_cast<int>(out_size));
+      ok[i] = 1;
+      n_ok.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nthreads; ++t) threads.emplace_back(work);
+  for (auto& t : threads) t.join();
+  return n_ok.load();
+#endif
 }
 
 }  // extern "C"

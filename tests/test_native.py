@@ -90,3 +90,49 @@ def test_eval_dispatch_uses_native(lib):
     np.testing.assert_allclose(sc1, sc2, atol=1e-5)
     assert hg1.sum() == hg2.sum() and hi1.sum() == hi2.sum()
     assert np.abs(hg1 - hg2).sum() <= 4 and np.abs(hi1 - hi2).sum() <= 4
+
+
+def test_native_jpeg_decode_matches_cv2():
+    """Threaded libjpeg decode pool (fr_native.cpp decode_jpegs_rgb) vs the
+    cv2 fallback path: decoded pixels within JPEG-decoder tolerance (IFAST
+    DCT vs cv2's decoder: a few LSB) and correct shapes, including resize."""
+    import cv2
+    from fr_tpu import native
+
+    if not native.jpeg_available():
+        import pytest
+        pytest.skip("native jpeg pool unavailable")
+
+    rng = np.random.default_rng(0)
+    blobs = []
+    refs = []
+    for i in range(12):
+        h, w = int(rng.integers(80, 160)), int(rng.integers(80, 160))
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        img = cv2.GaussianBlur(img, (7, 7), 3)
+        ok, enc = cv2.imencode(".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                               [cv2.IMWRITE_JPEG_QUALITY, 92])
+        assert ok
+        blobs.append(enc.tobytes())
+        dec = cv2.cvtColor(cv2.imdecode(np.frombuffer(blobs[-1], np.uint8),
+                                        cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+        refs.append(cv2.resize(dec, (64, 64),
+                               interpolation=cv2.INTER_LINEAR))
+
+    out = native.decode_jpegs_native(blobs, 64)
+    assert out is not None and out.shape == (12, 64, 64, 3)
+    for got, ref in zip(out, refs):
+        diff = np.abs(got.astype(int) - ref.astype(int))
+        assert diff.mean() < 3.0 and np.percentile(diff, 99) <= 12, (
+            diff.mean(), diff.max())
+
+
+def test_native_jpeg_decode_rejects_garbage():
+    from fr_tpu import native
+
+    if not native.jpeg_available():
+        import pytest
+        pytest.skip("native jpeg pool unavailable")
+    out = native.decode_jpegs_native([b"not a jpeg", b"\xff\xd8\xff garbage"],
+                                     32)
+    assert out is None  # caller falls back to cv2
