@@ -151,9 +151,16 @@ def load_config(name: str, **overrides: Any) -> Config:
     assert conf.network in NETWORKS, f"Invalid model {conf.network!r}"
     assert conf.loss in LOSSES, f"Invalid loss {conf.loss!r}"
     assert conf.optimizer in OPTIMIZERS, f"Invalid optimizer {conf.optimizer!r}"
-    # Re-flatten in case network/loss/optimizer choices were overridden.
+    # Re-flatten in case network/loss/optimizer choices were overridden —
+    # then re-apply the overrides: the tables carry defaults for keys the
+    # CLI may set (sample_rate, loss_s, ...) and CLI wins over config
+    # (reference main/main.py:81-102 sets args after the config module's
+    # generate_config ran at import).
     generate_config(conf, conf.network, conf.loss, conf.optimizer,
                     conf.lr_scheduler)
+    for k, v in overrides.items():
+        if v is not None:
+            conf[k] = v
     if "img_size" not in conf or conf.img_size is None:
         conf.img_size = default_img_size(conf.network)
     if "min_lr" not in conf:

@@ -62,7 +62,8 @@ class Trainer:
             running_t = 0.0
             train_outputs: List[Dict] = []
             print_log(self.logger_, f"{epoch + 1} Epoch Training")
-            for step_i, batch in enumerate(train_loader.epoch(epoch)):
+            batches = task.prefetch_device_batches(train_loader.epoch(epoch))
+            for step_i, batch in enumerate(batches):
                 if profile_steps and epoch == start_epoch:
                     if step_i == 1:  # skip compile step
                         jax.profiler.start_trace(str(self.save_dir / "profile"))
