@@ -75,20 +75,61 @@ def main():
     jax.block_until_ready(jax.tree.leaves(state.params)[0])
 
     # BENCH_AUGMENT=1: uint8 inputs + the full on-device augmentation pipeline
-    augment = os.environ.get("BENCH_AUGMENT", "0") == "1"
+    # BENCH_PACKED=<dir>: stream a real packed corpus (memmap + native gather
+    # + double-buffered H2D + on-device augment) instead of a resident tensor
+    packed_dir = os.environ.get("BENCH_PACKED")
+    augment = os.environ.get("BENCH_AUGMENT", "0") == "1" or bool(packed_dir)
     aug_cfg = None
     rng = np.random.default_rng(0)
     if augment:
         from fr_tpu.data.augment import augment_cfg_from_conf
         aug_cfg = augment_cfg_from_conf(conf)
-        x = rng.integers(0, 256, (batch, conf.img_size, conf.img_size, 3)
-                         ).astype(np.uint8)
-    else:
-        x = rng.standard_normal(
-            (batch, conf.img_size, conf.img_size, 3)).astype(np.float32)
     step = make_train_step(conf, mesh, encoder, pfc_cfg, augment_cfg=aug_cfg)
-    y = rng.integers(0, conf.n_classes, batch).astype(np.int32)
-    xs, ys = shard_batch(mesh, x, y)
+
+    batches = None
+    if packed_dir and os.environ.get("BENCH_DEVICE_CORPUS", "0") == "1":
+        # TPU-native path for HBM-sized corpora: corpus resident on device,
+        # per-step on-device gather, only KBs of indices cross the link
+        from fr_tpu.data.device_corpus import DeviceCorpusLoader
+        from fr_tpu.data.packed import PackedTrainLoader
+        src = PackedTrainLoader(packed_dir, batch)
+        loader = DeviceCorpusLoader(src.images, src.labels % n_classes,
+                                    batch, mesh)
+
+        def device_batches():
+            epoch = 0
+            while True:
+                for im, lb in loader.epoch(epoch):
+                    yield im, lb
+                epoch += 1
+
+        batches = device_batches()
+        xs, ys = next(batches)
+    elif packed_dir:
+        from fr_tpu.data.packed import PackedTrainLoader
+        from fr_tpu.train.step import prefetch_to_device
+        loader = PackedTrainLoader(packed_dir, batch)
+
+        def host_batches():
+            epoch = 0
+            while True:
+                for im, lb in loader.epoch(epoch):
+                    yield im, (lb % n_classes).astype(np.int32)
+                epoch += 1
+
+        # threaded H2D prefetch: the transfer runs on a worker thread and
+        # overlaps device compute (same path the Trainer uses)
+        batches = prefetch_to_device(mesh, host_batches(), depth=2)
+        xs, ys = next(batches)
+    else:
+        if augment:
+            x = rng.integers(0, 256, (batch, conf.img_size, conf.img_size, 3)
+                             ).astype(np.uint8)
+        else:
+            x = rng.standard_normal(
+                (batch, conf.img_size, conf.img_size, 3)).astype(np.float32)
+        y = rng.integers(0, conf.n_classes, batch).astype(np.int32)
+        xs, ys = shard_batch(mesh, x, y)
 
     # analytic flop cost of the forward pass, for the roofline denominator
     # (jaxpr traversal, no compile)
@@ -114,6 +155,8 @@ def main():
 
     t0 = time.perf_counter()
     for i in range(steps):
+        if batches is not None:
+            xs, ys = next(batches)
         state, metrics = step(state, xs, ys, lr, key)
     final_loss = float(metrics["loss"])
     dt = time.perf_counter() - t0
@@ -129,6 +172,10 @@ def main():
         vs_baseline = imgs_per_sec / roofline_imgs
 
     aug_tag = ", on-device augment" if augment else ""
+    if packed_dir:
+        aug_tag += (", device-resident corpus"
+                    if os.environ.get("BENCH_DEVICE_CORPUS", "0") == "1"
+                    else ", packed corpus")
     print(json.dumps({
         "metric": f"{network}+{conf.metric} train throughput "
                   f"(b={batch}, C={n_classes}, r={conf.sample_rate}, "

@@ -38,8 +38,16 @@ def parse_args(argv=None):
                    help="override conf.train_dataset_dir")
     p.add_argument("--packed_dir", type=str, default=None,
                    help="train from a packed corpus (tools/pack_dataset)")
+    p.add_argument("--device_corpus", action="store_true",
+                   help="with --packed_dir: upload the corpus to device HBM "
+                        "once and gather batches on device (zero image H2D "
+                        "per step; for corpora that fit in spare HBM)")
     p.add_argument("--num_epoch", type=int, default=None)
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--test_b", type=int, default=None,
+                   help="test-mode batch (pairs); default 1 matches the "
+                        "reference's batch_size=1 test loaders so the "
+                        "logged inference time is per-pair latency")
     p.add_argument("--img_size", type=int, default=None)
     p.add_argument("--synthetic", action="store_true",
                    help="train/eval on synthetic identity data")
@@ -70,6 +78,8 @@ def build_conf(args):
         ckpt_path=args.ckpt_path)
     conf.test_type = args.test_type
     conf.spmd_mode = args.spmd_mode
+    if args.test_b is not None:
+        conf.test_b = args.test_b
     conf.img_size = (args.img_size if args.img_size
                      else default_img_size(conf.network))  # main/main.py:102
     conf.min_lr = conf.lr / 1000                     # main/main.py:94-101
@@ -125,6 +135,11 @@ def _loaders(args, conf, mesh):
                 f"{conf.img_size}; repack with --img_size {conf.img_size} "
                 f"or pass --img_size {packed_size}")
         conf.n_classes = train.num_classes
+        if args.device_corpus:
+            from fr_tpu.data.device_corpus import DeviceCorpusLoader
+            assert pcnt == 1, "--device_corpus is single-process (one host)"
+            train = DeviceCorpusLoader(train.images, train.labels, conf.b,
+                                       mesh)
     else:
         index = ImageFolderIndex(conf.train_dataset_dir)
         conf.n_classes = index.num_classes

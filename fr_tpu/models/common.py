@@ -101,7 +101,14 @@ class Dense(nn.Module):
 
 def max_pool_3x3_s2(x):
     """torch MaxPool2d(kernel_size=3, stride=2, padding=1)
-    (reference nets/resnet.py:189). Pads with -inf so padding never wins."""
+    (reference nets/resnet.py:189). Pads with -inf so padding never wins.
+
+    reduce_window on purpose: its select-and-scatter gradient (1.73 ms/step
+    on the R100 stem, b=256) is already near its bandwidth floor — an
+    elementwise custom-VJP reformulation (9 interior-padded masked adds,
+    tried in round 2) measured +28 ms/step: the extra passes at 112^2 and
+    the lost stem conv+BN+ReLU fusion cost far more than select-and-scatter
+    (ROUND2_NOTES.md)."""
     return nn.max_pool(x, window_shape=(3, 3), strides=(2, 2),
                        padding=((1, 1), (1, 1)))
 

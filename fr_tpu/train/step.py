@@ -32,6 +32,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -437,3 +438,52 @@ def shard_batch(mesh: Mesh, images, labels):
         return imgs, labs
     return (jax.device_put(images, img_sharding),
             jax.device_put(labels, lab_sharding))
+
+
+def prefetch_to_device(mesh: Mesh, host_iter, depth: int = 2):
+    """Threaded device prefetch: a worker thread pulls (images, labels) from
+    host_iter and issues shard_batch/device_put for up to `depth` batches
+    ahead, overlapping the H2D transfer with device compute. device_put
+    blocks the issuing thread while the bytes move (milliseconds on PCIe,
+    much longer over a tunneled runtime), so simply staying one batch ahead
+    on the consumer thread is not enough — the transfer must run off-thread.
+
+    The consumer gets device-resident (images, labels) jax.Arrays. Worker
+    exceptions re-raise at the consumer. The generator's close() (e.g. an
+    exception in the training loop) stops the worker."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    SENTINEL = object()
+
+    def worker():
+        try:
+            for images, labels in host_iter:
+                batch = shard_batch(mesh, np.asarray(images),
+                                    np.asarray(labels, np.int32))
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(SENTINEL)
+        except BaseException as e:  # noqa: BLE001 — re-raised at consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -62,7 +62,12 @@ class Trainer:
             running_t = 0.0
             train_outputs: List[Dict] = []
             print_log(self.logger_, f"{epoch + 1} Epoch Training")
-            batches = task.prefetch_device_batches(train_loader.epoch(epoch))
+            if getattr(train_loader, "device_resident", False):
+                # corpus lives in HBM; batches are already device arrays
+                batches = train_loader.epoch(epoch)
+            else:
+                batches = task.prefetch_device_batches(
+                    train_loader.epoch(epoch))
             for step_i, batch in enumerate(batches):
                 if profile_steps and epoch == start_epoch:
                     if step_i == 1:  # skip compile step
@@ -128,14 +133,19 @@ class Trainer:
         """Pair or cross test over each dataset
         (reference utils/trainer.py:118-158)."""
         conf = self.conf
+        # reference test loaders use batch_size=1 with per-batch timing
+        # (utils/data_partial.py:288-294), so the logged "Test Inference
+        # Time" is per-pair latency; conf.test_b keeps that comparable
+        # (default 1) while allowing throughput-mode testing (test_b=conf.b)
+        test_b = int(conf.get("test_b", 1) or 1)
         for t_idx, (name, ds) in enumerate(test_datasets.items()):
             print_log(self.logger_, f"{t_idx + 1}th Test Dataset")
             if conf.get("test_type", "pair") == "pair":
-                outs = [task.test_step(b, t_idx) for b in ds.batches(conf.b)]
+                outs = [task.test_step(b, t_idx) for b in ds.batches(test_b)]
                 task.test_epoch_end(outs)
             else:
                 outs = [task.cross_test_step(b, t_idx)
-                        for b in ds.batches(conf.b)]
+                        for b in ds.batches(test_b)]
                 task.cross_test_epoch_end(outs)
 
         msg = "=" * 50
