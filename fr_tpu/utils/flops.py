@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 
 import jax
+import jax.numpy as jnp
 
 
 def _dot_flops(eqn) -> float:
@@ -65,5 +66,109 @@ def _walk(jaxpr) -> float:
                 sub = eqn.params.get(k)
                 if sub is not None:
                     total += _walk(sub.jaxpr if hasattr(sub, "jaxpr") else sub)
+                    break
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Achievable (occupancy-aware) MXU roofline
+# ---------------------------------------------------------------------------
+#
+# The naive roofline (peak_bf16 / 3·fwd_FLOPs) assumes every contraction can
+# fill the 128×128 systolic array. Measured XPlane profiles of the R100
+# training step on v5e (ROUND2_NOTES.md, scripts/trace_probe.py +
+# xplane_analyze.py) show that is physically wrong for two op classes:
+#
+#   * 3×3 convs with C_in = 64 (ResNet stage 1): the MXU contraction depth is
+#     C_in per tap in every formulation that does not materialise im2col
+#     patches (which loses 5×, scripts/stem_probe.py) or relayout lanes
+#     (which loses more than it gains, scripts/stage1_probe.py analysis) —
+#     so at most 64 of 128 sublanes carry data. Measured: 50-55% of peak,
+#     exactly min(C_in,128)/128.
+#   * conv weight-gradients write a (kh,kw,C_in,C_out) output whose lane dim
+#     is C_out: stage-1 wgrad measured at 46-50% of peak = min(C_out,128)/128
+#     while stages 2-4 (C ≥ 128) measured 93-99%.
+#
+# The achievable-roofline model below encodes those *hardware* ceilings and
+# nothing else (no allowance for elementwise, copies, optimizer, pooling or
+# dispatch — those must still be driven to zero to reach 1.0):
+#
+#   fwd    : occupancy = min(K_eff, 128)/128,  K_eff = C_in   (C_in ≥ 8)
+#                                             K_eff = C_in·kh·kw (tiny C_in:
+#            the 3-channel stem is worth folding taps for, and XLA partially
+#            does; using the full im2col depth keeps the bound unbeatable)
+#   dgrad  : occupancy = min(C_out,128)/128, skipped for convs consuming the
+#            network input (no gradient w.r.t. data is computed)
+#   wgrad  : occupancy = min(C_out,128)/128
+#   dots   : occupancy = min(K,128)/128
+#   f32 @ Precision.HIGHEST runs as 6-pass bf16 on the MXU → 6× time.
+#
+# Validation against the measured step (R100, b=256, bf16, v5e @197 TF/s):
+# this model gives ≈99 ms of MXU-floor time vs 99.5 ms measured conv+dot
+# device time — i.e. the compiled program's matmuls already run at the
+# model's ceiling (ROUND2_NOTES.md "Ceiling accounting").
+
+_F32_HIGHEST_PASSES = 6.0
+
+
+def _eqn_dtype_penalty(eqn) -> float:
+    if eqn.invars[0].aval.dtype == jnp.bfloat16:
+        return 1.0
+    return _F32_HIGHEST_PASSES
+
+
+def achievable_mxu_seconds(fn, peak_flops: float, *args, **kwargs) -> float:
+    """Lower bound on fwd+bwd MXU seconds for one call of fn(*args) on a chip
+    with `peak_flops` bf16 FLOP/s, under the occupancy model above. fn is the
+    *forward* computation; backward cost is derived per-op (dgrad + wgrad for
+    convs, 2 sibling dots for dot_general)."""
+    jaxpr = jax.make_jaxpr(fn, **kwargs)(*args)
+    return _walk_time(jaxpr.jaxpr) / peak_flops
+
+
+def _walk_time(jaxpr) -> float:
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "dot_general":
+            f = _dot_flops(eqn)
+            a = eqn.invars[0].aval.shape
+            (lc, _), _ = eqn.params["dimension_numbers"]
+            k = math.prod(a[i] for i in lc)
+            occ = min(k, 128) / 128.0
+            pen = _eqn_dtype_penalty(eqn)
+            # fwd + two backward dots (d/dA and d/dB); their contraction
+            # depths differ but are ≥ min(m,n,k) which is large for every
+            # dot in these nets — keep occupancy 1.0 on the backward
+            total += pen * (f / occ + 2.0 * f)
+        elif name == "conv_general_dilated":
+            f = _conv_flops(eqn)
+            rhs = eqn.invars[1].aval.shape
+            dn = eqn.params["dimension_numbers"]
+            cin = rhs[dn.rhs_spec[1]]
+            cout = rhs[dn.rhs_spec[0]]
+            k_spatial = math.prod(rhs[i] for i in dn.rhs_spec[2:])
+            k_eff = cin if cin >= 8 else cin * k_spatial
+            occ_fwd = min(k_eff, 128) / 128.0
+            occ_bwd = min(cout, 128) / 128.0
+            pen = _eqn_dtype_penalty(eqn)
+            t = f / occ_fwd + f / occ_bwd            # fwd + wgrad
+            if cin >= 8:                              # dgrad (skip stem)
+                t += f / occ_bwd
+            total += pen * t
+        elif name == "scan":
+            total += eqn.params["length"] * _walk_time(
+                eqn.params["jaxpr"].jaxpr)
+        elif name == "while":
+            total += _walk_time(eqn.params["body_jaxpr"].jaxpr)
+        elif name == "cond":
+            total += max(_walk_time(b.jaxpr)
+                         for b in eqn.params["branches"])
+        else:
+            for k in ("jaxpr", "call_jaxpr"):
+                sub = eqn.params.get(k)
+                if sub is not None:
+                    total += _walk_time(
+                        sub.jaxpr if hasattr(sub, "jaxpr") else sub)
                     break
     return total

@@ -53,18 +53,19 @@ def main():
                             ).astype(np.float32)
     y = rng.integers(0, n_classes, batch).astype(np.int32)
     xs, ys = shard_batch(mesh, x, y)
-    step = make_train_step(conf, mesh, encoder, pfc_cfg, donate=False)
+    donate = os.environ.get("TRACE_DONATE", "1") == "1"  # match bench.py
+    step = make_train_step(conf, mesh, encoder, pfc_cfg, donate=donate)
     key = jax.random.key(1)
     lr = jnp.float32(0.05)
     for _ in range(2):  # compile + warm
-        _, m = step(state, xs, ys, lr, key)
+        state, m = step(state, xs, ys, lr, key)
         float(np.asarray(m["loss"]))
 
     trace_dir = "/tmp/fr_trace"
     os.system(f"rm -rf {trace_dir}")
     with jax.profiler.trace(trace_dir):
         for _ in range(3):
-            _, m = step(state, xs, ys, lr, key)
+            state, m = step(state, xs, ys, lr, key)
         float(np.asarray(m["loss"]))
 
     files = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
