@@ -30,7 +30,7 @@ from flax import linen as nn
 from fr_tpu.models.common import BatchNorm, matmul_precision
 from fr_tpu.models.swin_common import (
     DropPath,
-    WindowAttention,
+    make_window_attention,
     adaptive_avg_pool,
     shifted_window_mask,
     window_partition,
@@ -193,8 +193,8 @@ class FANSwinBlock(nn.Module):
             shifted = x
             mask = None
         windows = window_partition(shifted, self.window)
-        attn = WindowAttention(self.dim, (self.window, self.window),
-                               self.heads, dtype=self.dtype)(windows, mask)
+        attn = make_window_attention(self.dim, (self.window, self.window),
+                                     self.heads, self.dtype)(windows, mask)
         shifted = window_reverse(attn, self.window, H, W)
         if self.shift > 0:
             out = jnp.roll(shifted, (self.shift, self.shift), axis=(1, 2))

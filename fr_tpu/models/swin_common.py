@@ -120,9 +120,15 @@ class WindowAttention(nn.Module):
         qkv = (jnp.dot(x.astype(self.dtype), qkv_kernel.astype(self.dtype),
                        precision=prec)
                + bias.astype(self.dtype))
-        qkv = qkv.reshape(B_, N, 3, self.num_heads, hd)
-        qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B_, heads, N, hd)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        # Lane-aligned slices instead of a (3, heads) axis shuffle: the
+        # 5-D transpose form materialises ~0.3-0.7 ms relayout copies per
+        # tensor per block on TPU (qkv blocks tiled T(8,128) vs the
+        # head-split layout — measured, ROUND2_NOTES.md AlterNet profile);
+        # slicing the last dim at C-aligned offsets is layout-preserving and
+        # the per-head split stays in the minor dims.
+        q = qkv[..., :C].reshape(B_, N, self.num_heads, hd)
+        k = qkv[..., C:2 * C].reshape(B_, N, self.num_heads, hd)
+        v = qkv[..., 2 * C:].reshape(B_, N, self.num_heads, hd)
 
         # cosine attention with clamped learnable temperature
         # (reference AlterNet_SwinV2_FAN.py:277-279)
@@ -133,7 +139,7 @@ class WindowAttention(nn.Module):
             (self.num_heads, 1, 1), jnp.float32)
         qn = l2_normalize(q.astype(jnp.float32)).astype(self.dtype)
         kn = l2_normalize(k.astype(jnp.float32)).astype(self.dtype)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", qn, kn,
+        attn = jnp.einsum("bnhd,bmhd->bhnm", qn, kn,
                           precision=prec,
                           preferred_element_type=jnp.float32)
         scale = jnp.exp(jnp.minimum(logit_scale, np.log(1.0 / 0.01)))
@@ -161,15 +167,33 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(B_, self.num_heads, N, N)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
 
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(self.dtype),
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype),
                          v, precision=prec,
                          preferred_element_type=jnp.float32)
-        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        out = out.reshape(B_, N, C)
         out = nn.Dense(C, kernel_init=xavier_normal,
                        bias_init=jax.nn.initializers.zeros,
                        dtype=self.dtype, param_dtype=jnp.float32,
                        precision=prec, name="proj")(out.astype(self.dtype))
         return out
+
+
+def make_window_attention(dim, window, heads, dtype, remat: bool = True):
+    """WindowAttention factory, rematerialised by default.
+
+    Attention intermediates dominate the transformer blocks' HBM traffic on
+    TPU (the f32 score tensors alone are ~42 MB per stage-2 block at b=128;
+    saved qkv/normalised heads add more — measured, ROUND2_NOTES.md). Under
+    jax.checkpoint the backward recomputes the window attention from its
+    18.9 MB input instead of round-tripping every intermediate; the extra
+    FLOPs are negligible (the attention GEMMs are ~1.4 GFLOP/step total).
+    prevent_cse=False is the under-jit setting (no CSE hazard, better code).
+    """
+    cls = nn.remat(WindowAttention, prevent_cse=False) if remat \
+        else WindowAttention
+    # pin the auto-name the un-lifted class would get, so parameter paths
+    # (and therefore checkpoints) are identical with and without remat
+    return cls(dim, window, heads, dtype=dtype, name="WindowAttention_0")
 
 
 class DropPath(nn.Module):

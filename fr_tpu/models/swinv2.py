@@ -21,7 +21,7 @@ from flax import linen as nn
 from fr_tpu.models.common import BatchNorm, Conv, Dense, max_pool_3x3_s2
 from fr_tpu.models.swin_common import (
     DropPath,
-    WindowAttention,
+    make_window_attention,
     adaptive_avg_pool,
     window_partition,
     window_reverse,
@@ -41,8 +41,8 @@ class SwinBlock(nn.Module):
         B, H, W, C = x.shape
         shortcut = x
         windows = window_partition(x, self.window)
-        attn = WindowAttention(self.dim, (self.window, self.window),
-                               self.heads, dtype=self.dtype)(windows, None)
+        attn = make_window_attention(self.dim, (self.window, self.window),
+                                     self.heads, self.dtype)(windows, None)
         out = window_reverse(attn, self.window, H, W)
         out = BatchNorm()(out, use_running_average=not train)
         x = shortcut + DropPath(self.drop_path)(out, deterministic=not train)

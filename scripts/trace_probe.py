@@ -35,16 +35,18 @@ from fr_tpu.train.step import shard_batch  # noqa: E402
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    n_classes = 86690
-    conf = load_config("ms1m_arcface_122", network="ResNet100")
+    n_classes = int(os.environ.get("TRACE_CLASSES", "86690"))
+    sample_rate = float(os.environ.get("TRACE_SAMPLE_RATE", "0.3"))
+    network = os.environ.get("TRACE_NETWORK", "ResNet100")
+    conf = load_config("ms1m_arcface_122", network=network)
     conf.n_classes = n_classes
     conf.mixed_precision = True
-    conf.sample_rate = 0.3
+    conf.sample_rate = sample_rate
     mesh = make_mesh()
     pfc_cfg = PFCConfig(
         num_classes=n_classes, embedding_size=conf.emd_size, model_size=1,
-        sample_rate=0.3, margin=conf.metric, s=conf.loss_s, m=conf.loss_m,
-        mixed_precision=True, optimizer=conf.optimizer_name)
+        sample_rate=sample_rate, margin=conf.metric, s=conf.loss_s,
+        m=conf.loss_m, mixed_precision=True, optimizer=conf.optimizer_name)
     encoder = build_encoder(conf)
     state = jax.jit(lambda k: init_train_state(
         k, conf, encoder, pfc_cfg, conf.img_size))(jax.random.key(0))
