@@ -46,6 +46,7 @@ class AlterSwinBlock(nn.Module):
     shift: int = 0
     drop_path: float = 0.1
     dtype: Any = jnp.float32
+    fused_attn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -67,7 +68,8 @@ class AlterSwinBlock(nn.Module):
             mask = None
         windows = window_partition(shifted, self.window)
         attn = make_window_attention(self.dim, (self.window, self.window),
-                                     self.heads, self.dtype)(windows, mask)
+                                     self.heads, self.dtype,
+                                     fused=self.fused_attn)(windows, mask)
         shifted = window_reverse(attn, self.window, H, W)
         if self.shift > 0:
             out = jnp.roll(shifted, (self.shift, self.shift), axis=(1, 2))
@@ -103,6 +105,7 @@ class AlterNet(nn.Module):
     drop_path_rate: float = 0.1
     head_drop: float = 0.5
     dtype: Any = jnp.float32
+    fused_attn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -129,11 +132,13 @@ class AlterNet(nn.Module):
                     x = AlterSwinBlock(planes, planes, heads, (res, res),
                                        window=win,
                                        drop_path=self.drop_path_rate,
-                                       dtype=self.dtype)(x, train)
+                                       dtype=self.dtype,
+                                       fused_attn=self.fused_attn)(x, train)
                     x = AlterSwinBlock(planes, planes, heads, (res, res),
                                        window=win, shift=win // 2,
                                        drop_path=self.drop_path_rate,
-                                       dtype=self.dtype)(x, train)
+                                       dtype=self.dtype,
+                                       fused_attn=self.fused_attn)(x, train)
 
         x = BatchNorm()(x, use_running_average=not train)
         x = nn.relu(x)
@@ -163,7 +168,8 @@ def build_alternet(conf) -> AlterNet:
     dtype = jnp.bfloat16 if conf.get("mixed_precision", False) else jnp.float32
     return AlterNet(num_blocks=blocks, num_blocks2=blocks2, heads=heads,
                     img_size=conf.img_size, emd_size=conf.emd_size,
-                    dtype=dtype)
+                    dtype=dtype,
+                    fused_attn=bool(conf.get("fused_attn", True)))
 
 
 def alt_sequence_sep(blocks: int, blocks2: int) -> Sequence[bool]:
@@ -187,6 +193,7 @@ class AlterNetSep(nn.Module):
     heads: Sequence[int]
     emd_size: int = 512
     dtype: Any = jnp.float32
+    fused_attn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -211,7 +218,8 @@ class AlterNetSep(nn.Module):
                     x = AlterSwinBlock(planes, planes, heads,
                                        (x.shape[1], x.shape[2]), window=7,
                                        shift=0, drop_path=0.0,
-                                       dtype=self.dtype)(x, train)
+                                       dtype=self.dtype,
+                                       fused_attn=self.fused_attn)(x, train)
 
         x = BatchNorm()(x, use_running_average=not train)
         x = nn.Dropout(0.5, deterministic=not train)(x)
@@ -238,4 +246,5 @@ def build_alternet_sep(conf) -> AlterNetSep:
     blocks, blocks2, heads = ALTERNET_SEP_PLANS[conf.network]
     dtype = jnp.bfloat16 if conf.get("mixed_precision", False) else jnp.float32
     return AlterNetSep(num_blocks=blocks, num_blocks2=blocks2, heads=heads,
-                       emd_size=conf.emd_size, dtype=dtype)
+                       emd_size=conf.emd_size, dtype=dtype,
+                       fused_attn=bool(conf.get("fused_attn", True)))

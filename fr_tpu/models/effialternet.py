@@ -181,6 +181,7 @@ class FANSwinBlock(nn.Module):
     shift: int = 0
     drop_path: float = 0.1
     dtype: Any = jnp.float32
+    fused_attn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -194,7 +195,8 @@ class FANSwinBlock(nn.Module):
             mask = None
         windows = window_partition(shifted, self.window)
         attn = make_window_attention(self.dim, (self.window, self.window),
-                                     self.heads, self.dtype)(windows, mask)
+                                     self.heads, self.dtype,
+                                     fused=self.fused_attn)(windows, mask)
         shifted = window_reverse(attn, self.window, H, W)
         if self.shift > 0:
             out = jnp.roll(shifted, (self.shift, self.shift), axis=(1, 2))
@@ -216,6 +218,7 @@ class EffNetV2(nn.Module):
     emd_size: int = 512
     width_mult: float = 1.0
     dtype: Any = jnp.float32
+    fused_attn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -248,11 +251,13 @@ class EffNetV2(nn.Module):
                                dtype=self.dtype)(x, train)
                 else:
                     x = FANSwinBlock(out_ch, heads, (res, res),
-                                     window=window, dtype=self.dtype)(x, train)
+                                     window=window, dtype=self.dtype,
+                                     fused_attn=self.fused_attn)(x, train)
                     if res > window:
                         x = FANSwinBlock(out_ch, heads, (res, res),
                                          window=window, shift=window // 2,
-                                         dtype=self.dtype)(x, train)
+                                         dtype=self.dtype,
+                                         fused_attn=self.fused_attn)(x, train)
             in_ch = out_ch
             res //= 2
 
@@ -297,4 +302,5 @@ def build_effialternet(conf) -> EffNetV2:
     """Encoder factory (reference nets/EffiAlterNet_SwinV2_FAN.py:785-793)."""
     dtype = jnp.bfloat16 if conf.get("mixed_precision", False) else jnp.float32
     return EffNetV2(cfgs=EFFIALTER_CFGS[conf.network], img_size=conf.img_size,
-                    emd_size=conf.emd_size, dtype=dtype)
+                    emd_size=conf.emd_size, dtype=dtype,
+                    fused_attn=bool(conf.get("fused_attn", True)))

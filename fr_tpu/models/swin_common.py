@@ -98,6 +98,10 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     pretrained_window: Tuple[int, int] = (0, 0)
     dtype: Any = jnp.float32
+    # fused Pallas path for everything between the two dense GEMMs
+    # (normalise → cosine scores → scale/bias/mask → softmax → ·v); the
+    # jnp path below is the numerical oracle and the GSPMD fallback
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray] = None):
@@ -120,16 +124,6 @@ class WindowAttention(nn.Module):
         qkv = (jnp.dot(x.astype(self.dtype), qkv_kernel.astype(self.dtype),
                        precision=prec)
                + bias.astype(self.dtype))
-        # Lane-aligned slices instead of a (3, heads) axis shuffle: the
-        # 5-D transpose form materialises ~0.3-0.7 ms relayout copies per
-        # tensor per block on TPU (qkv blocks tiled T(8,128) vs the
-        # head-split layout — measured, ROUND2_NOTES.md AlterNet profile);
-        # slicing the last dim at C-aligned offsets is layout-preserving and
-        # the per-head split stays in the minor dims.
-        q = qkv[..., :C].reshape(B_, N, self.num_heads, hd)
-        k = qkv[..., C:2 * C].reshape(B_, N, self.num_heads, hd)
-        v = qkv[..., 2 * C:].reshape(B_, N, self.num_heads, hd)
-
         # cosine attention with clamped learnable temperature
         # (reference AlterNet_SwinV2_FAN.py:277-279)
         logit_scale = self.param(
@@ -137,13 +131,7 @@ class WindowAttention(nn.Module):
             lambda *_: jnp.full((self.num_heads, 1, 1), np.log(10.0),
                                 jnp.float32),
             (self.num_heads, 1, 1), jnp.float32)
-        qn = l2_normalize(q.astype(jnp.float32)).astype(self.dtype)
-        kn = l2_normalize(k.astype(jnp.float32)).astype(self.dtype)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", qn, kn,
-                          precision=prec,
-                          preferred_element_type=jnp.float32)
         scale = jnp.exp(jnp.minimum(logit_scale, np.log(1.0 / 0.01)))
-        attn = attn * scale
 
         # continuous relative position bias (reference :281-286)
         table = jnp.asarray(relative_coords_table(self.window))
@@ -158,19 +146,38 @@ class WindowAttention(nn.Module):
         bias_table = bias_table.reshape(-1, self.num_heads)
         rel_bias = bias_table[idx.reshape(-1)].reshape(N, N, self.num_heads)
         rel_bias = rel_bias.transpose(2, 0, 1)
-        attn = attn + 16.0 * jax.nn.sigmoid(rel_bias)[None]
+        bias16 = 16.0 * jax.nn.sigmoid(rel_bias)     # (heads, N, N)
 
-        if mask is not None:
-            nW = mask.shape[0]
-            m = jnp.asarray(mask)[None, :, None]  # (1, nW, 1, N, N)
-            attn = attn.reshape(B_ // nW, nW, self.num_heads, N, N) + m
-            attn = attn.reshape(B_, self.num_heads, N, N)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
-
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype),
-                         v, precision=prec,
-                         preferred_element_type=jnp.float32)
-        out = out.reshape(B_, N, C)
+        if self.fused:
+            from fr_tpu.ops.fused_window_attn import fused_window_attention
+            nW = mask.shape[0] if mask is not None else 1
+            out = fused_window_attention(
+                qkv, scale.reshape(self.num_heads), bias16,
+                self.num_heads, nW,
+                jnp.asarray(mask) if mask is not None else None)
+        else:
+            # Lane-aligned slices instead of a (3, heads) axis shuffle (the
+            # 5-D transpose form materialises relayout copies per tensor
+            # per block on TPU — ROUND2_NOTES.md AlterNet profile).
+            q = qkv[..., :C].reshape(B_, N, self.num_heads, hd)
+            k = qkv[..., C:2 * C].reshape(B_, N, self.num_heads, hd)
+            v = qkv[..., 2 * C:].reshape(B_, N, self.num_heads, hd)
+            qn = l2_normalize(q.astype(jnp.float32)).astype(self.dtype)
+            kn = l2_normalize(k.astype(jnp.float32)).astype(self.dtype)
+            attn = jnp.einsum("bnhd,bmhd->bhnm", qn, kn,
+                              precision=prec,
+                              preferred_element_type=jnp.float32)
+            attn = attn * scale + bias16[None]
+            if mask is not None:
+                nW = mask.shape[0]
+                m = jnp.asarray(mask)[None, :, None]  # (1, nW, 1, N, N)
+                attn = attn.reshape(B_ // nW, nW, self.num_heads, N, N) + m
+                attn = attn.reshape(B_, self.num_heads, N, N)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype),
+                             v, precision=prec,
+                             preferred_element_type=jnp.float32)
+            out = out.reshape(B_, N, C)
         out = nn.Dense(C, kernel_init=xavier_normal,
                        bias_init=jax.nn.initializers.zeros,
                        dtype=self.dtype, param_dtype=jnp.float32,
@@ -178,7 +185,8 @@ class WindowAttention(nn.Module):
         return out
 
 
-def make_window_attention(dim, window, heads, dtype, remat: bool = True):
+def make_window_attention(dim, window, heads, dtype, remat: bool = True,
+                          fused: bool = True):
     """WindowAttention factory, rematerialised by default.
 
     Attention intermediates dominate the transformer blocks' HBM traffic on
@@ -193,7 +201,8 @@ def make_window_attention(dim, window, heads, dtype, remat: bool = True):
         else WindowAttention
     # pin the auto-name the un-lifted class would get, so parameter paths
     # (and therefore checkpoints) are identical with and without remat
-    return cls(dim, window, heads, dtype=dtype, name="WindowAttention_0")
+    return cls(dim, window, heads, dtype=dtype, fused=fused,
+               name="WindowAttention_0")
 
 
 class DropPath(nn.Module):

@@ -35,6 +35,7 @@ class SwinBlock(nn.Module):
     window: int = 7
     drop_path: float = 0.0
     dtype: Any = jnp.float32
+    fused_attn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -42,7 +43,8 @@ class SwinBlock(nn.Module):
         shortcut = x
         windows = window_partition(x, self.window)
         attn = make_window_attention(self.dim, (self.window, self.window),
-                                     self.heads, self.dtype)(windows, None)
+                                     self.heads, self.dtype,
+                                     fused=self.fused_attn)(windows, None)
         out = window_reverse(attn, self.window, H, W)
         out = BatchNorm()(out, use_running_average=not train)
         x = shortcut + DropPath(self.drop_path)(out, deterministic=not train)
@@ -61,6 +63,7 @@ class Swin(nn.Module):
     heads: Sequence[int]
     emd_size: int = 512
     dtype: Any = jnp.float32
+    fused_attn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -78,7 +81,8 @@ class Swin(nn.Module):
                 x = Conv(planes, kernel=2, stride=2, padding=0,
                          dtype=self.dtype)(x)
             for _ in range(blocks):
-                x = SwinBlock(planes, heads, dtype=self.dtype)(x, train)
+                x = SwinBlock(planes, heads, dtype=self.dtype,
+                              fused_attn=self.fused_attn)(x, train)
 
         x = BatchNorm()(x, use_running_average=not train)
         x = nn.Dropout(0.5, deterministic=not train)(x)
@@ -105,4 +109,5 @@ def build_swin(conf) -> Swin:
     blocks, heads = SWIN_PLANS[conf.network]
     dtype = jnp.bfloat16 if conf.get("mixed_precision", False) else jnp.float32
     return Swin(num_blocks=blocks, heads=heads, emd_size=conf.emd_size,
-                dtype=dtype)
+                dtype=dtype,
+                fused_attn=bool(conf.get("fused_attn", True)))

@@ -1,0 +1,420 @@
+"""Fused SwinV2 cosine window-attention Pallas kernel.
+
+XLA lowers the per-head window attention (reference
+nets/AlterNet_SwinV2_FAN.py:252-300 — cosine attention over 36-token
+windows with 32-wide heads) into per-head batched GEMMs whose operand
+layouts force materialised relayout copies and f32 score-tensor HBM round
+trips: measured 13.5 ms/step of pure copies plus >20 ms of attention
+fusions on the AlterNet50 b=128 step where the attention GEMMs themselves
+are ~1.4 GFLOP (ROUND2_NOTES.md AlterNet profile).
+
+This kernel fuses everything BETWEEN the two dense GEMMs that XLA already
+runs well (the qkv projection and the output projection stay outside):
+
+    per head: L2-normalise q,k  →  cosine scores (MXU, batched over
+    windows) → · clamped-logit-scale + CPB bias (+ SW-MSA mask) →
+    f32 softmax → probs · v (MXU) → head concat
+
+per block of windows, entirely in VMEM — the (B_, heads, N, N) score
+tensor never exists in HBM. The backward (custom VJP) recomputes scores
+and softmax from the saved qkv block (flash-attention-style) and emits
+dqkv plus accumulated dscale / dbias grads; the scale/bias/CPB-MLP chain
+outside continues under normal AD via the returned cotangents.
+
+Semantics match fr_tpu/models/swin_common.py WindowAttention exactly:
+eps-guarded l2_normalize (models/common.py), bf16 MXU inputs with f32
+accumulation when mixed precision, f32 softmax, additive -100 SW-MSA mask
+(reference nets/AlterNet_SwinV2_FAN.py:375-397).
+
+shard_map-compatible via the same vma plumbing as fused_pfc.py; off-TPU
+the kernels run in interpret mode so CPU meshes exercise identical code.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPS = 1e-12  # l2_normalize guard (models/common.py l2_normalize)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _vma_union(*arrays):
+    vma = frozenset()
+    for a in arrays:
+        v = getattr(jax.typeof(a), "vma", None)
+        if v:
+            vma |= v
+    return vma
+
+
+def _align_vma(*arrays):
+    union = _vma_union(*arrays)
+    out = []
+    for a in arrays:
+        have = getattr(jax.typeof(a), "vma", None) or frozenset()
+        missing = tuple(sorted(union - have))
+        out.append(lax.pcast(a, missing, to="varying") if missing else a)
+    return out
+
+
+def _match_cotangent_vma(cot, primal):
+    cvma = getattr(jax.typeof(cot), "vma", None) or frozenset()
+    pvma = getattr(jax.typeof(primal), "vma", None) or frozenset()
+    extra = tuple(sorted(cvma - pvma))
+    if extra:
+        cot = lax.psum(cot, extra)
+    return cot
+
+
+def _pick_block(n_windows: int, n_tokens: int, n_win_per_img: int) -> int:
+    """Windows per kernel program: a multiple of nW (so the SW-MSA mask
+    tiles exactly) that divides the total and keeps the flattened GEMM
+    around 512-1024 rows."""
+    target = max(1, 1024 // max(1, n_win_per_img * n_tokens))
+    g = 1
+    n_imgs = n_windows // n_win_per_img
+    while g * 2 <= target and n_imgs % (g * 2) == 0:
+        g *= 2
+    return g * n_win_per_img
+
+
+def _norm(x_f32, axis=-1):
+    """l2_normalize pieces: returns (normalised f32, r, active) where
+    r = rsqrt(max(sum x^2, EPS^2)) and active = sum x^2 > EPS^2."""
+    s2 = jnp.sum(x_f32 * x_f32, axis=axis, keepdims=True)
+    r = lax.rsqrt(jnp.maximum(s2, EPS * EPS))
+    return x_f32 * r, r, s2 > EPS * EPS
+
+
+def _heads_fwd(qkv, scale, bias16, mask_tiled, num_heads, compute_dtype):
+    """Shared forward math on one block: qkv (W, N, 3C) compute-dtype →
+    out (W, N, C) f32, plus per-head (p, s_raw, qn, kn, vh) for reuse in
+    the backward kernel (returned lazily by recomputation there)."""
+    W, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // num_heads
+    outs = []
+    for h in range(num_heads):
+        o = h * hd
+        qh = qkv[:, :, o:o + hd].astype(jnp.float32)
+        kh = qkv[:, :, C + o:C + o + hd].astype(jnp.float32)
+        vh = qkv[:, :, 2 * C + o:2 * C + o + hd]
+        qn, _, _ = _norm(qh)
+        kn, _, _ = _norm(kh)
+        s_raw = lax.dot_general(
+            qn.astype(compute_dtype), kn.astype(compute_dtype),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        s = s_raw * scale[h] + bias16[h][None]
+        if mask_tiled is not None:
+            nW = mask_tiled.shape[0]
+            s = (s.reshape(W // nW, nW, N, N) + mask_tiled[None]
+                 ).reshape(W, N, N)
+        p = jax.nn.softmax(s, axis=-1)
+        o_h = lax.dot_general(
+            p.astype(compute_dtype), vh,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        outs.append(o_h)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _fwd_body(qkv_ref, scale_ref, bias_ref, mask_ref, out_ref,
+              num_heads, compute):
+    """Per-head results are stored straight into out_ref slices — a single
+    concat would keep every head's buffers live simultaneously and can
+    exceed the 16 MB scoped-VMEM stack."""
+    qkv = qkv_ref[:]
+    W, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // num_heads
+    scale = scale_ref[0]
+    bias16 = bias_ref[:]
+    mask = mask_ref[:] if mask_ref is not None else None
+    for h in range(num_heads):
+        o = h * hd
+        qh = qkv[:, :, o:o + hd].astype(jnp.float32)
+        kh = qkv[:, :, C + o:C + o + hd].astype(jnp.float32)
+        vh = qkv[:, :, 2 * C + o:2 * C + o + hd]
+        qn, _, _ = _norm(qh)
+        kn, _, _ = _norm(kh)
+        s = lax.dot_general(qn.astype(compute), kn.astype(compute),
+                            (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+        s = s * scale[h] + bias16[h][None]
+        if mask is not None:
+            nW = mask.shape[0]
+            s = (s.reshape(W // nW, nW, N, N) + mask[None]).reshape(W, N, N)
+        p = jax.nn.softmax(s, axis=-1)
+        out_ref[:, :, o:o + hd] = lax.dot_general(
+            p.astype(compute), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+
+def _bwd_body(qkv_ref, scale_ref, bias_ref, mask_ref, g_ref,
+              dqkv_ref, dscale_ref, dbias_ref, num_heads, compute):
+    """Recompute fwd per head, then exact VJP. dscale/dbias accumulate
+    across grid steps (their blocks alias every program)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dscale_ref[:] = jnp.zeros_like(dscale_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    qkv = qkv_ref[:]
+    W, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // num_heads
+    scale = scale_ref[0]
+    bias16 = bias_ref[:]
+    mask = mask_ref[:] if mask_ref is not None else None
+    g = g_ref[:]
+
+    dscales = []
+    for h in range(num_heads):
+        o = h * hd
+        qh = qkv[:, :, o:o + hd].astype(jnp.float32)
+        kh = qkv[:, :, C + o:C + o + hd].astype(jnp.float32)
+        vh = qkv[:, :, 2 * C + o:2 * C + o + hd]
+        qn, qr, qa = _norm(qh)
+        kn, kr, ka = _norm(kh)
+        qnc = qn.astype(compute)
+        knc = kn.astype(compute)
+        s_raw = lax.dot_general(qnc, knc, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s_raw * scale[h] + bias16[h][None]
+        if mask is not None:
+            nW = mask.shape[0]
+            s = (s.reshape(W // nW, nW, N, N) + mask[None]).reshape(W, N, N)
+        p = jax.nn.softmax(s, axis=-1)
+        pc = p.astype(compute)
+
+        g_h = g[:, :, o:o + hd]                      # (W, N, hd) f32
+        # out_h = p · v  →  dp = g·vᵀ, dv = pᵀ·g
+        dp = lax.dot_general(g_h.astype(compute), vh,
+                             (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+        dv = lax.dot_general(pc, g_h.astype(compute),
+                             (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+        # softmax VJP (f32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        # s = s_raw·scale_h + bias16_h (+ mask): bias/scale grads accumulate
+        dbias_ref[h] += jnp.sum(ds, axis=0)
+        dscales.append(jnp.sum(ds * s_raw))
+        ds_raw = ds * scale[h]
+        dsc = ds_raw.astype(compute)
+        # s_raw = qn·knᵀ
+        dqn = lax.dot_general(dsc, knc, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+        dkn = lax.dot_general(dsc, qnc, (((1,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+        # l2_normalize VJP: x·rsqrt(max(Σx², eps²))
+        dq = qr * (dqn - jnp.where(
+            qa, qn * jnp.sum(dqn * qn, axis=-1, keepdims=True), 0.0))
+        dk = kr * (dkn - jnp.where(
+            ka, kn * jnp.sum(dkn * kn, axis=-1, keepdims=True), 0.0))
+        # direct per-head stores (see _fwd_body note on scoped VMEM)
+        dt = dqkv_ref.dtype
+        dqkv_ref[:, :, o:o + hd] = dq.astype(dt)
+        dqkv_ref[:, :, C + o:C + o + hd] = dk.astype(dt)
+        dqkv_ref[:, :, 2 * C + o:2 * C + o + hd] = dv.astype(dt)
+
+    dscale_ref[:] += jnp.stack(dscales).reshape(1, num_heads)
+
+
+def _specs(n_blocks, wb, N, C3, num_heads, has_mask, nW):
+    qkv_spec = pl.BlockSpec((wb, N, C3), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    scale_spec = pl.BlockSpec((1, num_heads), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((num_heads, N, N), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [qkv_spec, scale_spec, bias_spec]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((nW, N, N), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    return in_specs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_window_attention(qkv: jnp.ndarray, scale: jnp.ndarray,
+                           bias16: jnp.ndarray,
+                           num_heads: int,
+                           n_win_per_img: int,
+                           mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """qkv (B_, N, 3C) compute-dtype; scale (heads,) f32 (already
+    exp-clamped); bias16 (heads, N, N) f32 (already 16·sigmoid(CPB));
+    mask (nW, N, N) f32 additive or None. Returns (B_, N, C) f32."""
+    return _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask)
+
+
+def _bwd_jnp(qkv, scale, bias16, mask, g, num_heads):
+    """Pure-jnp twin of _bwd_body on the full array (off-TPU path — same
+    decomposition, so CPU meshes validate the kernel math; the Mosaic
+    lowering itself is covered by scripts/tpu_smoke.py)."""
+    W, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // num_heads
+    compute = qkv.dtype
+    d_parts = []
+    dscales = []
+    dbiases = []
+    for h in range(num_heads):
+        o = h * hd
+        qh = qkv[:, :, o:o + hd].astype(jnp.float32)
+        kh = qkv[:, :, C + o:C + o + hd].astype(jnp.float32)
+        vh = qkv[:, :, 2 * C + o:2 * C + o + hd]
+        qn, qr, qa = _norm(qh)
+        kn, kr, ka = _norm(kh)
+        qnc = qn.astype(compute)
+        knc = kn.astype(compute)
+        s_raw = lax.dot_general(qnc, knc, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s_raw * scale[h] + bias16[h][None]
+        if mask is not None:
+            nW = mask.shape[0]
+            s = (s.reshape(W // nW, nW, N, N) + mask[None]).reshape(W, N, N)
+        p = jax.nn.softmax(s, axis=-1)
+        pc = p.astype(compute)
+        g_h = g[:, :, o:o + hd]
+        dp = lax.dot_general(g_h.astype(compute), vh,
+                             (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+        dv = lax.dot_general(pc, g_h.astype(compute),
+                             (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbiases.append(jnp.sum(ds, axis=0))
+        dscales.append(jnp.sum(ds * s_raw))
+        dsc = (ds * scale[h]).astype(compute)
+        dqn = lax.dot_general(dsc, knc, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+        dkn = lax.dot_general(dsc, qnc, (((1,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+        dq = qr * (dqn - jnp.where(
+            qa, qn * jnp.sum(dqn * qn, axis=-1, keepdims=True), 0.0))
+        dk = kr * (dkn - jnp.where(
+            ka, kn * jnp.sum(dkn * kn, axis=-1, keepdims=True), 0.0))
+        d_parts.append((dq, dk, dv))
+    dqkv = jnp.concatenate(
+        [d[0] for d in d_parts] + [d[1] for d in d_parts]
+        + [d[2] for d in d_parts], axis=-1).astype(compute)
+    return dqkv, jnp.stack(dscales), jnp.stack(dbiases)
+
+
+def _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask):
+    B_, N, C3 = qkv.shape
+    C = C3 // 3
+    compute = qkv.dtype
+    has_mask = mask is not None
+
+    if _interpret():
+        return _heads_fwd(qkv, scale, bias16, mask, num_heads, compute)
+
+    wb = _pick_block(B_, N, n_win_per_img)
+    grid = (B_ // wb,)
+
+    args = [qkv, jnp.reshape(scale, (1, num_heads)), bias16]
+    if has_mask:
+        args.append(mask)
+    args = _align_vma(*args)
+    vma = _vma_union(*args)
+
+    if has_mask:
+        def kernel(q, s, b, m, o):
+            _fwd_body(q, s, b, m, o, num_heads, compute)
+    else:
+        def kernel(q, s, b, o):
+            _fwd_body(q, s, b, None, o, num_heads, compute)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=_specs(grid[0], wb, N, C3, num_heads, has_mask,
+                        n_win_per_img),
+        out_specs=pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_, N, C), jnp.float32, vma=vma),
+        interpret=_interpret(),
+    )(*args)
+    return out
+
+
+def _fwd_rule(qkv, scale, bias16, num_heads, n_win_per_img, mask):
+    out = _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask)
+    return out, (qkv, scale, bias16, mask)
+
+
+def _bwd_rule(num_heads, n_win_per_img, residuals, g):
+    qkv, scale, bias16, mask = residuals
+    B_, N, C3 = qkv.shape
+    compute = qkv.dtype
+    has_mask = mask is not None
+
+    if _interpret():
+        dqkv, dscale, dbias = _bwd_jnp(qkv, scale, bias16, mask,
+                                       g.astype(jnp.float32), num_heads)
+        dscale = _match_cotangent_vma(dscale, scale)
+        dbias = _match_cotangent_vma(dbias, bias16)
+        dmask = jnp.zeros_like(mask) if has_mask else None
+        return (dqkv, dscale, dbias, dmask)
+
+    wb = _pick_block(B_, N, n_win_per_img)
+    grid = (B_ // wb,)
+
+    args = [qkv, jnp.reshape(scale, (1, num_heads)), bias16]
+    if has_mask:
+        args.append(mask)
+    args.append(g.astype(jnp.float32))
+    args = _align_vma(*args)
+    vma = _vma_union(*args)
+
+    if has_mask:
+        def kernel(q, s, b, m, gg, dq, dsc, db):
+            _bwd_body(q, s, b, m, gg, dq, dsc, db, num_heads, compute)
+    else:
+        def kernel(q, s, b, gg, dq, dsc, db):
+            _bwd_body(q, s, b, None, gg, dq, dsc, db, num_heads, compute)
+    in_specs = _specs(grid[0], wb, N, C3, num_heads, has_mask,
+                      n_win_per_img)
+    in_specs.append(pl.BlockSpec((wb, N, C3 // 3), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    dqkv, dscale, dbias = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((wb, N, C3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, N, N), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B_, N, C3), compute, vma=vma),
+            jax.ShapeDtypeStruct((1, num_heads), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((num_heads, N, N), jnp.float32, vma=vma),
+        ],
+        interpret=_interpret(),
+    )(*args)
+
+    dscale = _match_cotangent_vma(dscale.reshape(num_heads), scale)
+    dbias = _match_cotangent_vma(dbias, bias16)
+    # mask is a compile-time constant (SW-MSA pattern); zero cotangent
+    dmask = jnp.zeros_like(mask) if has_mask else None
+    return (dqkv, dscale, dbias, dmask)
+
+
+fused_window_attention.defvjp(_fwd_rule, _bwd_rule)

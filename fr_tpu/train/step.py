@@ -281,6 +281,12 @@ def make_gspmd_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
     C_pad = pfc_cfg.num_classes_padded
     num_sample = pfc_cfg.num_sample
     multi = mesh.devices.size > 1
+    # GSPMD partitions one dense global program; pallas_call has no SPMD
+    # partitioning rule, so on a multi-device mesh clone the encoder onto
+    # the jnp attention path (identical params/math; the fused kernel is
+    # used by the shard_map and single-device lowerings).
+    if multi and getattr(encoder, "fused_attn", False):
+        encoder = encoder.clone(fused_attn=False)
 
     def constrain(x, spec):
         if multi:
@@ -389,6 +395,9 @@ def make_embed_step(conf, mesh: Mesh, encoder) -> Callable:
     L2-normalised output (reference model/FR_PartialFC.py:196-218).
     This is THE eval path — FaceRecognitionTask uses it too."""
     img_size = conf.img_size
+    if mesh.devices.size > 1 and getattr(encoder, "fused_attn", False):
+        # GSPMD lowering (sharding constraints below): no pallas partitioning
+        encoder = encoder.clone(fused_attn=False)
 
     @jax.jit
     def embed(params, batch_stats, images):

@@ -57,6 +57,39 @@ def main() -> int:
     print(f"fused kernel parity ok (loss {float(lf_):.6f}, "
           f"ge_err {ge_err:.1e}, gw_err {gw_err:.1e})")
 
+    # 1b. fused window-attention kernel vs the jnp path — real Mosaic
+    # lowering, fwd + grads, masked (SW-MSA) and unmasked
+    from fr_tpu.models.swin_common import shifted_window_mask
+    from fr_tpu.ops.fused_window_attn import (fused_window_attention,
+                                              _heads_fwd)
+
+    for (imgs, hw, ws, shift, C, h, dt, tol) in [
+            (8, 24, 6, 3, 128, 4, jnp.bfloat16, 3e-2),
+            (8, 12, 6, 0, 256, 8, jnp.bfloat16, 3e-2)]:
+        nW = (hw // ws) ** 2
+        B_, N = imgs * nW, ws * ws
+        qkv = jnp.asarray(rng.standard_normal((B_, N, 3 * C)), dt)
+        scale = jnp.asarray(np.abs(rng.standard_normal(h)) + 1, jnp.float32)
+        bias16 = jnp.asarray(rng.standard_normal((h, N, N)), jnp.float32)
+        mask = (jnp.asarray(shifted_window_mask(hw, hw, ws, shift))
+                if shift else None)
+
+        fk = jax.jit(jax.value_and_grad(
+            lambda q: fused_window_attention(
+                q, scale, bias16, h, nW, mask).sum()))
+        fr = jax.jit(jax.value_and_grad(
+            lambda q: _heads_fwd(q, scale, bias16, mask, h, dt).sum()))
+        ok, gk = fk(qkv)
+        orf, gr = fr(qkv)
+        o_err = abs(float(ok) - float(orf)) / max(abs(float(orf)), 1.0)
+        g_err = float(jnp.max(jnp.abs(
+            gk.astype(jnp.float32) - gr.astype(jnp.float32))))
+        g_mag = float(jnp.max(jnp.abs(gr.astype(jnp.float32))))
+        assert o_err < tol and g_err < tol * max(g_mag, 1.0), \
+            (o_err, g_err, g_mag)
+        print(f"fused window-attn parity ok (C={C} h={h} shift={shift}: "
+              f"out {o_err:.1e}, grad {g_err:.1e}/{g_mag:.1e})")
+
     # 2. five R50 train steps from synthetic identities — loss must descend
     from fr_tpu.configs import load_config
     from fr_tpu.parallel import make_mesh

@@ -1,0 +1,111 @@
+"""Parity of the fused window-attention op (fr_tpu/ops/fused_window_attn.py)
+against the unfused jnp path of WindowAttention — forward and gradients,
+masked (SW-MSA) and unmasked, f32 and bf16, plus full-module equivalence
+fused vs unfused.
+
+Off-TPU the op runs its pure-jnp twin (same decomposition as the Mosaic
+kernels); the real lowering is covered by scripts/tpu_smoke.py on-chip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fr_tpu.models.swin_common import WindowAttention, shifted_window_mask
+from fr_tpu.ops.fused_window_attn import fused_window_attention
+from fr_tpu.models.common import l2_normalize
+
+
+def _ref_attn(qkv, scale, bias16, mask, num_heads):
+    """The unfused math, straight from WindowAttention's jnp branch."""
+    B_, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // num_heads
+    dt = qkv.dtype
+    q = qkv[..., :C].reshape(B_, N, num_heads, hd)
+    k = qkv[..., C:2 * C].reshape(B_, N, num_heads, hd)
+    v = qkv[..., 2 * C:].reshape(B_, N, num_heads, hd)
+    qn = l2_normalize(q.astype(jnp.float32)).astype(dt)
+    kn = l2_normalize(k.astype(jnp.float32)).astype(dt)
+    attn = jnp.einsum("bnhd,bmhd->bhnm", qn, kn,
+                      preferred_element_type=jnp.float32)
+    attn = attn * scale[None, :, None, None] + bias16[None]
+    if mask is not None:
+        nW = mask.shape[0]
+        attn = (attn.reshape(B_ // nW, nW, num_heads, N, N)
+                + mask[:, None]).reshape(B_, num_heads, N, N)
+    p = jax.nn.softmax(attn.astype(jnp.float32), -1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", p.astype(dt), v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B_, N, C)
+
+
+CASES = [
+    # (B_, N, C, heads, nW, masked, dtype, tol)
+    (32, 36, 128, 4, 16, True, jnp.float32, 5e-5),
+    (32, 36, 128, 4, 16, False, jnp.float32, 5e-5),
+    (16, 9, 512, 16, 4, True, jnp.bfloat16, 3e-2),
+    (8, 49, 96, 8, 4, False, jnp.bfloat16, 3e-2),  # hd=12, C%128 != 0
+]
+
+
+@pytest.mark.parametrize("B_,N,C,h,nW,masked,dt,tol", CASES)
+def test_fused_matches_unfused(B_, N, C, h, nW, masked, dt, tol):
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.standard_normal((B_, N, 3 * C)), dt)
+    scale = jnp.asarray(np.abs(rng.standard_normal(h)) + 1.0, jnp.float32)
+    bias16 = jnp.asarray(rng.standard_normal((h, N, N)), jnp.float32)
+    mask = (jnp.asarray(np.where(rng.random((nW, N, N)) > 0.8, -100.0, 0.0),
+                        jnp.float32) if masked else None)
+
+    out_f = fused_window_attention(qkv, scale, bias16, h, nW, mask)
+    out_r = _ref_attn(qkv, scale, bias16, mask, h)
+    ref_mag = float(jnp.abs(out_r).max())
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               atol=tol * max(ref_mag, 1.0))
+
+    f = lambda *a: fused_window_attention(a[0], a[1], a[2], h, nW, mask).sum()
+    r = lambda *a: _ref_attn(a[0], a[1], a[2], mask, h).sum()
+    gf = jax.grad(f, argnums=(0, 1, 2))(qkv, scale, bias16)
+    gr = jax.grad(r, argnums=(0, 1, 2))(qkv, scale, bias16)
+    for a, b in zip(gf, gr):
+        mag = float(jnp.abs(b.astype(jnp.float32)).max())
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=tol * max(mag, 1.0))
+
+
+@pytest.mark.parametrize("shift", [0, 3])
+def test_module_fused_vs_unfused(shift):
+    """Full WindowAttention module: fused=True == fused=False (values and
+    grads) on a realistic windowed input with the real SW-MSA mask."""
+    H = W = 12
+    ws = 6
+    N = ws * ws
+    C, heads = 64, 4
+    B_ = 8 * (H // ws) * (W // ws)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((B_, N, C)), jnp.float32)
+    mask = shifted_window_mask(H, W, ws, shift) if shift else None
+
+    outs, grads = [], []
+    for fused in (True, False):
+        mod = WindowAttention(C, (ws, ws), heads, dtype=jnp.float32,
+                              fused=fused)
+        variables = mod.init(jax.random.key(0), x, mask)
+
+        def loss(p):
+            return (mod.apply({"params": p}, x, mask) ** 2).sum()
+
+        outs.append(mod.apply(variables, x, mask))
+        grads.append(jax.grad(loss)(variables["params"]))
+
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]),
+                               atol=2e-4)
+    flat0 = jax.tree.leaves(grads[0])
+    flat1 = jax.tree.leaves(grads[1])
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3 * max(float(jnp.abs(b).max()),
+                                                   1.0))
