@@ -76,10 +76,15 @@ def _match_cotangent_vma(cot, primal):
     return cot
 
 
-def _pick_block(n_windows: int, n_tokens: int, n_win_per_img: int) -> int:
+def _pick_block(n_windows: int, n_tokens: int, n_win_per_img: int,
+                row_bytes: int = 0) -> int:
     """Windows per kernel program: a multiple of nW (so the SW-MSA mask
     tiles exactly) that divides the total and keeps the flattened GEMM
-    around 512-1024 rows."""
+    around 512-1024 rows. Measured on AlterNet50 b=128: 4× bigger blocks
+    (4096-row target) REGRESSED 42→60 ms/step — large blocks leave no VMEM
+    headroom for double-buffered pipelining, so small-and-pipelined wins.
+    row_bytes is accepted for future byte-aware tuning; unused."""
+    del row_bytes
     target = max(1, 1024 // max(1, n_win_per_img * n_tokens))
     g = 1
     n_imgs = n_windows // n_win_per_img
@@ -323,7 +328,8 @@ def _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask):
     if _interpret():
         return _heads_fwd(qkv, scale, bias16, mask, num_heads, compute)
 
-    wb = _pick_block(B_, N, n_win_per_img)
+    wb = _pick_block(B_, N, n_win_per_img,
+                     row_bytes=N * C3 * qkv.dtype.itemsize)
     grid = (B_ // wb,)
 
     args = [qkv, jnp.reshape(scale, (1, num_heads)), bias16]
@@ -370,7 +376,8 @@ def _bwd_rule(num_heads, n_win_per_img, residuals, g):
         dmask = jnp.zeros_like(mask) if has_mask else None
         return (dqkv, dscale, dbias, dmask)
 
-    wb = _pick_block(B_, N, n_win_per_img)
+    wb = _pick_block(B_, N, n_win_per_img,
+                     row_bytes=N * C3 * qkv.dtype.itemsize)
     grid = (B_ // wb,)
 
     args = [qkv, jnp.reshape(scale, (1, num_heads)), bias16]
