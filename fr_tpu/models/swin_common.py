@@ -26,6 +26,24 @@ from flax import linen as nn
 from fr_tpu.models.common import l2_normalize, matmul_precision, xavier_normal
 
 
+# (window, dim) pairs routed to the spatial kernel (windowing inside the
+# kernel). Measured on v5e (ROUND2_NOTES.md): EMPTY is fastest. ws=6/C=128
+# compiles but is slower end-to-end than XLA's partition transpose + the
+# windows-API kernel (50.1 vs 42.2 ms/step AlterNet50 b=128 — the
+# in-kernel (ws, nWx) shuffles serialise against the MXU where XLA's HBM
+# transpose overlaps); ws=3 / ws=7 hit "infer-vector-layout: unsupported
+# shape cast" on the (N → ws, ws) un-windowing and ws=6/C=256 crashes the
+# Mosaic compiler. Kept behind this gate as a documented negative result.
+SPATIAL_KERNEL_CONFIGS = frozenset()
+
+
+def use_spatial_attention(window: int, dim: int, fused: bool) -> bool:
+    """Blocks call this to decide rank-4 (in-kernel windowing) vs
+    partition-outside; keeping the decision here keeps the measured
+    allowlist in one place."""
+    return fused and (window, dim) in SPATIAL_KERNEL_CONFIGS
+
+
 def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
     """(B, H, W, C) → (B·nW, ws·ws, C) (reference AlterNet_SwinV2_FAN.py:156-168)."""
     B, H, W, C = x.shape
@@ -105,7 +123,18 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray] = None):
-        B_, N, C = x.shape
+        """x: (B_, windows·tokens layout) — (B_, N, C) pre-partitioned
+        windows, or (B, H, W, C) spatial when fused (the spatial kernel
+        absorbs window partition/reverse; the projections are
+        position-independent so they commute with windowing)."""
+        spatial = x.ndim == 4
+        if spatial:
+            assert self.fused, "spatial input requires the fused kernel"
+            C = x.shape[-1]
+            N = self.window[0] * self.window[1]
+            B_ = None
+        else:
+            B_, N, C = x.shape
         assert C == self.dim and C % self.num_heads == 0
         hd = C // self.num_heads
         prec = matmul_precision(self.dtype)
@@ -148,7 +177,27 @@ class WindowAttention(nn.Module):
         rel_bias = rel_bias.transpose(2, 0, 1)
         bias16 = 16.0 * jax.nn.sigmoid(rel_bias)     # (heads, N, N)
 
-        if self.fused:
+        if spatial and (self.window[0], C) in SPATIAL_KERNEL_CONFIGS:
+            from fr_tpu.ops.fused_window_attn import (
+                fused_window_attention_spatial)
+            out = fused_window_attention_spatial(
+                qkv, scale.reshape(self.num_heads), bias16,
+                self.num_heads, self.window[0],
+                jnp.asarray(mask) if mask is not None else None)
+        elif spatial:
+            # config not in SPATIAL_KERNEL_CONFIGS — window outside,
+            # windows-API kernel inside
+            from fr_tpu.ops.fused_window_attn import fused_window_attention
+            ws = self.window[0]
+            Hs, Ws = qkv.shape[1], qkv.shape[2]
+            nW = (Hs // ws) * (Ws // ws)
+            qkv_w = window_partition(qkv, ws)
+            out_w = fused_window_attention(
+                qkv_w, scale.reshape(self.num_heads), bias16,
+                self.num_heads, nW,
+                jnp.asarray(mask) if mask is not None else None)
+            out = window_reverse(out_w, ws, Hs, Ws)
+        elif self.fused:
             from fr_tpu.ops.fused_window_attn import fused_window_attention
             nW = mask.shape[0] if mask is not None else 1
             out = fused_window_attention(

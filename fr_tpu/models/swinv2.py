@@ -22,6 +22,7 @@ from fr_tpu.models.common import BatchNorm, Conv, Dense, max_pool_3x3_s2
 from fr_tpu.models.swin_common import (
     DropPath,
     make_window_attention,
+    use_spatial_attention,
     adaptive_avg_pool,
     window_partition,
     window_reverse,
@@ -41,11 +42,16 @@ class SwinBlock(nn.Module):
     def __call__(self, x, train: bool):
         B, H, W, C = x.shape
         shortcut = x
-        windows = window_partition(x, self.window)
-        attn = make_window_attention(self.dim, (self.window, self.window),
-                                     self.heads, self.dtype,
-                                     fused=self.fused_attn)(windows, None)
-        out = window_reverse(attn, self.window, H, W)
+        if use_spatial_attention(self.window, self.dim, self.fused_attn):
+            out = make_window_attention(
+                self.dim, (self.window, self.window), self.heads,
+                self.dtype, fused=True)(x, None)
+        else:
+            windows = window_partition(x, self.window)
+            attn = make_window_attention(
+                self.dim, (self.window, self.window), self.heads,
+                self.dtype, fused=self.fused_attn)(windows, None)
+            out = window_reverse(attn, self.window, H, W)
         out = BatchNorm()(out, use_running_average=not train)
         x = shortcut + DropPath(self.drop_path)(out, deterministic=not train)
 

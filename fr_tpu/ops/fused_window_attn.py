@@ -253,6 +253,302 @@ def _specs(n_blocks, wb, N, C3, num_heads, has_mask, nW):
     return in_specs
 
 
+# ---------------------------------------------------------------------------
+# Spatial variant: windowing absorbed into the kernel's BlockSpec indexing.
+# ---------------------------------------------------------------------------
+#
+# The windows-API kernel above still leaves window_partition/window_reverse
+# as materialised XLA transposes around every call (measured ~10 ms/step of
+# copies on AlterNet50 b=128 after v1). Since the qkv and output projections
+# are position-independent they commute with windowing, so the projections
+# run on the (B, H, W, C) layout and this kernel slices windows straight out
+# of HBM: grid (B/g, nWy), block (g, ws, W, 3C) — a row of windows for g
+# images; the (ws, nWx) shuffle happens in VMEM where relayouts are cheap.
+
+
+def _window_block(x, g, nWx, ws, last):
+    """(g, ws, nWx·ws, last) → (g·nWx, ws·ws, last), matching
+    window_partition's (img, wx) window order and row-major token order."""
+    x = x.reshape(g, ws, nWx, ws, last)
+    x = x.transpose(0, 2, 1, 3, 4)
+    return x.reshape(g * nWx, ws * ws, last)
+
+
+def _unwindow_block(w, g, nWx, ws, last):
+    """Inverse of _window_block: (g·nWx, ws·ws, last) → (g, ws, nWx·ws, last)."""
+    w = w.reshape(g, nWx, ws, ws, last)
+    w = w.transpose(0, 2, 1, 3, 4)
+    return w.reshape(g, ws, nWx * ws, last)
+
+
+def _sp_fwd_body(qkv_ref, scale_ref, bias_ref, mask_ref, out_ref,
+                 num_heads, compute, ws):
+    blk = qkv_ref[:]                     # (g, ws, W, 3C)
+    g_img, _, Wimg, C3 = blk.shape
+    nWx = Wimg // ws
+    C = C3 // 3
+    hd = C // num_heads
+    N = ws * ws
+    qkv = _window_block(blk, g_img, nWx, ws, C3)
+    scale = scale_ref[0]
+    bias16 = bias_ref[:]
+    mask = mask_ref[:] if mask_ref is not None else None
+    Wn = g_img * nWx
+    for h in range(num_heads):
+        o = h * hd
+        qh = qkv[:, :, o:o + hd].astype(jnp.float32)
+        kh = qkv[:, :, C + o:C + o + hd].astype(jnp.float32)
+        vh = qkv[:, :, 2 * C + o:2 * C + o + hd]
+        qn, _, _ = _norm(qh)
+        kn, _, _ = _norm(kh)
+        s = lax.dot_general(qn.astype(compute), kn.astype(compute),
+                            (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+        s = s * scale[h] + bias16[h][None]
+        if mask is not None:
+            s = (s.reshape(g_img, nWx, N, N) + mask[None]).reshape(Wn, N, N)
+        p = jax.nn.softmax(s, axis=-1)
+        o_h = lax.dot_general(p.astype(compute), vh,
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+        out_ref[:, :, :, o:o + hd] = _unwindow_block(o_h, g_img, nWx, ws, hd)
+
+
+def _sp_bwd_body(qkv_ref, scale_ref, bias_ref, mask_ref, g_ref,
+                 dqkv_ref, dscale_ref, dbias_ref, num_heads, compute, ws):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _init():
+        dscale_ref[:] = jnp.zeros_like(dscale_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    blk = qkv_ref[:]
+    g_img, _, Wimg, C3 = blk.shape
+    nWx = Wimg // ws
+    C = C3 // 3
+    hd = C // num_heads
+    N = ws * ws
+    Wn = g_img * nWx
+    qkv = _window_block(blk, g_img, nWx, ws, C3)
+    gwin = _window_block(g_ref[:], g_img, nWx, ws, C)
+    scale = scale_ref[0]
+    bias16 = bias_ref[:]
+    mask = mask_ref[:] if mask_ref is not None else None
+
+    dt = dqkv_ref.dtype
+    dscales = []
+    for h in range(num_heads):
+        o = h * hd
+        qh = qkv[:, :, o:o + hd].astype(jnp.float32)
+        kh = qkv[:, :, C + o:C + o + hd].astype(jnp.float32)
+        vh = qkv[:, :, 2 * C + o:2 * C + o + hd]
+        qn, qr, qa = _norm(qh)
+        kn, kr, ka = _norm(kh)
+        qnc = qn.astype(compute)
+        knc = kn.astype(compute)
+        s_raw = lax.dot_general(qnc, knc, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s_raw * scale[h] + bias16[h][None]
+        if mask is not None:
+            s = (s.reshape(g_img, nWx, N, N) + mask[None]).reshape(Wn, N, N)
+        p = jax.nn.softmax(s, axis=-1)
+        pc = p.astype(compute)
+
+        g_h = gwin[:, :, o:o + hd]
+        dp = lax.dot_general(g_h.astype(compute), vh,
+                             (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+        dv = lax.dot_general(pc, g_h.astype(compute),
+                             (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_ref[h] += jnp.sum(ds, axis=0)
+        dscales.append(jnp.sum(ds * s_raw))
+        dsc = (ds * scale[h]).astype(compute)
+        dqn = lax.dot_general(dsc, knc, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+        dkn = lax.dot_general(dsc, qnc, (((1,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+        dq = qr * (dqn - jnp.where(
+            qa, qn * jnp.sum(dqn * qn, axis=-1, keepdims=True), 0.0))
+        dk = kr * (dkn - jnp.where(
+            ka, kn * jnp.sum(dkn * kn, axis=-1, keepdims=True), 0.0))
+        dqkv_ref[:, :, :, o:o + hd] = _unwindow_block(
+            dq.astype(dt), g_img, nWx, ws, hd)
+        dqkv_ref[:, :, :, C + o:C + o + hd] = _unwindow_block(
+            dk.astype(dt), g_img, nWx, ws, hd)
+        dqkv_ref[:, :, :, 2 * C + o:2 * C + o + hd] = _unwindow_block(
+            dv.astype(dt), g_img, nWx, ws, hd)
+
+    dscale_ref[:] += jnp.stack(dscales).reshape(1, num_heads)
+
+
+def _sp_pick_g(B, nWx, N):
+    """Images per program: ~512-1024 window tokens per block (the measured
+    sweet spot, see _pick_block)."""
+    target = max(1, 1024 // max(1, nWx * N))
+    g = 1
+    while g * 2 <= target and B % (g * 2) == 0:
+        g *= 2
+    return g
+
+
+def _sp_specs(g, ws, Wimg, C3, num_heads, has_mask, nWx, N):
+    in_specs = [
+        pl.BlockSpec((g, ws, Wimg, C3), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, num_heads), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_heads, N, N), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((nWx, N, N), lambda i, j: (j, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    return in_specs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_window_attention_spatial(qkv, scale, bias16, num_heads, ws,
+                                   mask=None):
+    """qkv (B, H, W, 3C) compute-dtype (pre-shifted for SW-MSA); scale
+    (heads,) f32; bias16 (heads, N, N) f32; mask (nWy·nWx, N, N) f32 or
+    None. Returns (B, H, W, C) f32 — window partition, attention and window
+    reverse in one kernel."""
+    return _sp_fwd(qkv, scale, bias16, num_heads, ws, mask)
+
+
+def _sp_jnp(qkv, scale, bias16, num_heads, ws, mask):
+    """Off-TPU twin: window via reshape/transpose then the windows-API
+    jnp twin."""
+    B, H, Wimg, C3 = qkv.shape
+    N = ws * ws
+    x = qkv.reshape(B, H // ws, ws, Wimg // ws, ws, C3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, N, C3)
+    out = _heads_fwd(x, scale, bias16, mask, num_heads, qkv.dtype)
+    C = C3 // 3
+    out = out.reshape(B, H // ws, Wimg // ws, ws, ws, C)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, Wimg, C)
+
+
+def _sp_fwd(qkv, scale, bias16, num_heads, ws, mask):
+    if _interpret():
+        return _sp_jnp(qkv, scale, bias16, num_heads, ws, mask)
+    B, H, Wimg, C3 = qkv.shape
+    C = C3 // 3
+    N = ws * ws
+    nWx = Wimg // ws
+    nWy = H // ws
+    has_mask = mask is not None
+    g = _sp_pick_g(B, nWx, N)
+    grid = (B // g, nWy)
+
+    args = [qkv, jnp.reshape(scale, (1, num_heads)), bias16]
+    if has_mask:
+        args.append(mask)
+    args = _align_vma(*args)
+    vma = _vma_union(*args)
+    compute = qkv.dtype
+
+    if has_mask:
+        def kernel(q, s, b, m, o):
+            _sp_fwd_body(q, s, b, m, o, num_heads, compute, ws)
+    else:
+        def kernel(q, s, b, o):
+            _sp_fwd_body(q, s, b, None, o, num_heads, compute, ws)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=_sp_specs(g, ws, Wimg, C3, num_heads, has_mask, nWx, N),
+        out_specs=pl.BlockSpec((g, ws, Wimg, C), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Wimg, C), jnp.float32,
+                                       vma=vma),
+    )(*args)
+
+
+def _sp_fwd_rule(qkv, scale, bias16, num_heads, ws, mask):
+    out = _sp_fwd(qkv, scale, bias16, num_heads, ws, mask)
+    return out, (qkv, scale, bias16, mask)
+
+
+def _sp_bwd_rule(num_heads, ws, residuals, g):
+    qkv, scale, bias16, mask = residuals
+    has_mask = mask is not None
+
+    if _interpret():
+        B, H, Wimg, C3 = qkv.shape
+        N = ws * ws
+        x = qkv.reshape(B, H // ws, ws, Wimg // ws, ws, C3)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, N, C3)
+        C = C3 // 3
+        gw = g.reshape(B, H // ws, ws, Wimg // ws, ws, C)
+        gw = gw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, N, C)
+        dx, dscale, dbias = _bwd_jnp(x, scale, bias16, mask,
+                                     gw.astype(jnp.float32), num_heads)
+        dx = dx.reshape(B, H // ws, Wimg // ws, ws, ws, C3)
+        dqkv = dx.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, Wimg, C3)
+        dscale = _match_cotangent_vma(dscale, scale)
+        dbias = _match_cotangent_vma(dbias, bias16)
+        return (dqkv, dscale, dbias,
+                jnp.zeros_like(mask) if has_mask else None)
+
+    B, H, Wimg, C3 = qkv.shape
+    C = C3 // 3
+    N = ws * ws
+    nWx = Wimg // ws
+    nWy = H // ws
+    gq = _sp_pick_g(B, nWx, N)
+    grid = (B // gq, nWy)
+    compute = qkv.dtype
+
+    args = [qkv, jnp.reshape(scale, (1, num_heads)), bias16]
+    if has_mask:
+        args.append(mask)
+    args.append(g.astype(jnp.float32))
+    args = _align_vma(*args)
+    vma = _vma_union(*args)
+
+    if has_mask:
+        def kernel(q, s, b, m, gg, dq, dsc, db):
+            _sp_bwd_body(q, s, b, m, gg, dq, dsc, db, num_heads, compute, ws)
+    else:
+        def kernel(q, s, b, gg, dq, dsc, db):
+            _sp_bwd_body(q, s, b, None, gg, dq, dsc, db, num_heads, compute,
+                         ws)
+    in_specs = _sp_specs(gq, ws, Wimg, C3, num_heads, has_mask, nWx, N)
+    in_specs.append(pl.BlockSpec((gq, ws, Wimg, C), lambda i, j: (i, j, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    dqkv, dscale, dbias = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((gq, ws, Wimg, C3), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, N, N), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Wimg, C3), compute, vma=vma),
+            jax.ShapeDtypeStruct((1, num_heads), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((num_heads, N, N), jnp.float32, vma=vma),
+        ],
+    )(*args)
+
+    dscale = _match_cotangent_vma(dscale.reshape(num_heads), scale)
+    dbias = _match_cotangent_vma(dbias, bias16)
+    dmask = jnp.zeros_like(mask) if has_mask else None
+    return (dqkv, dscale, dbias, dmask)
+
+
+fused_window_attention_spatial.defvjp(_sp_fwd_rule, _sp_bwd_rule)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_window_attention(qkv: jnp.ndarray, scale: jnp.ndarray,
                            bias16: jnp.ndarray,

@@ -90,6 +90,35 @@ def main() -> int:
         print(f"fused window-attn parity ok (C={C} h={h} shift={shift}: "
               f"out {o_err:.1e}, grad {g_err:.1e}/{g_mag:.1e})")
 
+    # 1c. spatial fused kernel (windowing inside the kernel) vs the
+    # partition → windows-math → reverse composition — real lowering
+    from fr_tpu.models.swin_common import window_partition, window_reverse
+    from fr_tpu.ops.fused_window_attn import fused_window_attention_spatial
+
+    B, HH, ws, C, h = 8, 24, 6, 128, 4
+    shift = 3
+    Nw = ws * ws
+    x4 = jnp.asarray(rng.standard_normal((B, HH, HH, 3 * C)), jnp.bfloat16)
+    sc4 = jnp.asarray(np.abs(rng.standard_normal(h)) + 1, jnp.float32)
+    b4 = jnp.asarray(rng.standard_normal((h, Nw, Nw)), jnp.float32)
+    m4 = jnp.asarray(shifted_window_mask(HH, HH, ws, shift))
+
+    fs = jax.jit(jax.value_and_grad(lambda q: fused_window_attention_spatial(
+        q, sc4, b4, h, ws, m4).sum()))
+    fw = jax.jit(jax.value_and_grad(lambda q: window_reverse(
+        _heads_fwd(window_partition(q, ws), sc4, b4, m4, h, jnp.bfloat16),
+        ws, HH, HH).sum()))
+    os_, gs = fs(x4)
+    ow, gw2 = fw(x4)
+    o_err = abs(float(os_) - float(ow)) / max(abs(float(ow)), 1.0)
+    g_err = float(jnp.max(jnp.abs(gs.astype(jnp.float32)
+                                  - gw2.astype(jnp.float32))))
+    g_mag = float(jnp.max(jnp.abs(gw2.astype(jnp.float32))))
+    assert o_err < 3e-2 and g_err < 3e-2 * max(g_mag, 1.0), \
+        (o_err, g_err, g_mag)
+    print(f"spatial fused window-attn parity ok (out {o_err:.1e}, "
+          f"grad {g_err:.1e}/{g_mag:.1e})")
+
     # 2. five R50 train steps from synthetic identities — loss must descend
     from fr_tpu.configs import load_config
     from fr_tpu.parallel import make_mesh

@@ -77,6 +77,82 @@ def test_fused_matches_unfused(B_, N, C, h, nW, masked, dt, tol):
 
 
 @pytest.mark.parametrize("shift", [0, 3])
+def test_spatial_matches_windowed(shift):
+    """fused_window_attention_spatial == window_partition → windows math →
+    window_reverse, values and grads."""
+    from fr_tpu.models.swin_common import window_partition, window_reverse
+    from fr_tpu.ops.fused_window_attn import fused_window_attention_spatial
+
+    B, H, W, C, h, ws = 4, 12, 12, 64, 4, 6
+    N = ws * ws
+    nW = (H // ws) * (W // ws)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((B, H, W, 3 * C)), jnp.float32)
+    scale = jnp.asarray(np.abs(rng.standard_normal(h)) + 1.0, jnp.float32)
+    bias16 = jnp.asarray(rng.standard_normal((h, N, N)), jnp.float32)
+    mask = (jnp.asarray(shifted_window_mask(H, W, ws, shift))
+            if shift else None)
+
+    def spatial(x_, s_, b_):
+        return fused_window_attention_spatial(x_, s_, b_, h, ws, mask)
+
+    def windowed(x_, s_, b_):
+        win = window_partition(x_, ws)
+        out = _ref_attn(win, s_, b_, mask, h)
+        return window_reverse(out, ws, H, W)
+
+    o1 = spatial(x, scale, bias16)
+    o2 = windowed(x, scale, bias16)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-4)
+
+    g1 = jax.grad(lambda *a: (spatial(*a) ** 2).sum(), argnums=(0, 1, 2))(
+        x, scale, bias16)
+    g2 = jax.grad(lambda *a: (windowed(*a) ** 2).sum(), argnums=(0, 1, 2))(
+        x, scale, bias16)
+    for a, b in zip(g1, g2):
+        mag = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4 * mag)
+
+
+@pytest.mark.parametrize("shift", [0, 3])
+def test_module_spatial_vs_unfused(shift):
+    """Full WindowAttention module, rank-4 spatial fused input vs the
+    rank-3 unfused path (partition/reverse outside)."""
+    from fr_tpu.models.swin_common import window_partition, window_reverse
+
+    H = W = 12
+    ws = 6
+    C, heads = 64, 4
+    B = 8
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    mask = shifted_window_mask(H, W, ws, shift) if shift else None
+
+    mod_f = WindowAttention(C, (ws, ws), heads, dtype=jnp.float32,
+                            fused=True)
+    v = mod_f.init(jax.random.key(0), x, mask)
+    out_f = mod_f.apply(v, x, mask)
+
+    mod_u = WindowAttention(C, (ws, ws), heads, dtype=jnp.float32,
+                            fused=False)
+    out_u = window_reverse(
+        mod_u.apply(v, window_partition(x, ws), mask), ws, H, W)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               atol=2e-4)
+
+    gf = jax.grad(lambda p: (mod_f.apply({"params": p}, x, mask) ** 2).sum())(
+        v["params"])
+    gu = jax.grad(lambda p: (window_reverse(
+        mod_u.apply({"params": p}, window_partition(x, ws), mask),
+        ws, H, W) ** 2).sum())(v["params"])
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gu)):
+        mag = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3 * mag)
+
+
+@pytest.mark.parametrize("shift", [0, 3])
 def test_module_fused_vs_unfused(shift):
     """Full WindowAttention module: fused=True == fused=False (values and
     grads) on a realistic windowed input with the real SW-MSA mask."""
