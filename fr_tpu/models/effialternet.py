@@ -203,9 +203,13 @@ class FANSwinBlock(nn.Module):
             # partition OUTSIDE the (remat'd) attention so backward does
             # not replay the transpose (measured +2 ms/step otherwise)
             windows = window_partition(shifted, self.window)
+            # block_rows=512: EffiAlter's deeper block graph overflows
+            # Mosaic's scoped-VMEM stack at the default kernel block size
+            # on the N=49/C=512 backward (fused_window_attn._pick_block)
             attn = make_window_attention(
                 self.dim, (self.window, self.window), self.heads,
-                self.dtype, fused=self.fused_attn)(windows, mask)
+                self.dtype, fused=self.fused_attn,
+                block_rows=512)(windows, mask)
             shifted = window_reverse(attn, self.window, H, W)
         if self.shift > 0:
             out = jnp.roll(shifted, (self.shift, self.shift), axis=(1, 2))

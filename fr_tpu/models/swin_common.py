@@ -120,6 +120,9 @@ class WindowAttention(nn.Module):
     # (normalise → cosine scores → scale/bias/mask → softmax → ·v); the
     # jnp path below is the numerical oracle and the GSPMD fallback
     fused: bool = True
+    # kernel block budget in window tokens (scoped-VMEM pressure knob;
+    # see ops/fused_window_attn._pick_block)
+    block_rows: int = 1024
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray] = None):
@@ -195,7 +198,8 @@ class WindowAttention(nn.Module):
             out_w = fused_window_attention(
                 qkv_w, scale.reshape(self.num_heads), bias16,
                 self.num_heads, nW,
-                jnp.asarray(mask) if mask is not None else None)
+                jnp.asarray(mask) if mask is not None else None,
+                self.block_rows)
             out = window_reverse(out_w, ws, Hs, Ws)
         elif self.fused:
             from fr_tpu.ops.fused_window_attn import fused_window_attention
@@ -203,7 +207,8 @@ class WindowAttention(nn.Module):
             out = fused_window_attention(
                 qkv, scale.reshape(self.num_heads), bias16,
                 self.num_heads, nW,
-                jnp.asarray(mask) if mask is not None else None)
+                jnp.asarray(mask) if mask is not None else None,
+                self.block_rows)
         else:
             # Lane-aligned slices instead of a (3, heads) axis shuffle (the
             # 5-D transpose form materialises relayout copies per tensor
@@ -235,7 +240,7 @@ class WindowAttention(nn.Module):
 
 
 def make_window_attention(dim, window, heads, dtype, remat: bool = True,
-                          fused: bool = True):
+                          fused: bool = True, block_rows: int = 1024):
     """WindowAttention factory, rematerialised by default.
 
     Attention intermediates dominate the transformer blocks' HBM traffic on
@@ -251,7 +256,7 @@ def make_window_attention(dim, window, heads, dtype, remat: bool = True,
     # pin the auto-name the un-lifted class would get, so parameter paths
     # (and therefore checkpoints) are identical with and without remat
     return cls(dim, window, heads, dtype=dtype, fused=fused,
-               name="WindowAttention_0")
+               block_rows=block_rows, name="WindowAttention_0")
 
 
 class DropPath(nn.Module):

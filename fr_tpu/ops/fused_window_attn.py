@@ -77,15 +77,19 @@ def _match_cotangent_vma(cot, primal):
 
 
 def _pick_block(n_windows: int, n_tokens: int, n_win_per_img: int,
-                row_bytes: int = 0) -> int:
+                row_bytes: int = 0, target_rows: int = 1024) -> int:
     """Windows per kernel program: a multiple of nW (so the SW-MSA mask
     tiles exactly) that divides the total and keeps the flattened GEMM
     around 512-1024 rows. Measured on AlterNet50 b=128: 4× bigger blocks
     (4096-row target) REGRESSED 42→60 ms/step — large blocks leave no VMEM
     headroom for double-buffered pipelining, so small-and-pipelined wins.
-    row_bytes is accepted for future byte-aware tuning; unused."""
+    target_rows (default 1024) is the caller's scoped-VMEM pressure knob:
+    EffiAlter's deeper FANSwinBlock graph overflows Mosaic's 16 MB stack at
+    the default on its N=49/C=512 backward even though the identical shape
+    compiles inside Swin50, so that caller passes 512 (WindowAttention
+    block_rows)."""
     del row_bytes
-    target = max(1, 1024 // max(1, n_win_per_img * n_tokens))
+    target = max(1, target_rows // max(1, n_win_per_img * n_tokens))
     g = 1
     n_imgs = n_windows // n_win_per_img
     while g * 2 <= target and n_imgs % (g * 2) == 0:
@@ -206,7 +210,10 @@ def _bwd_body(qkv_ref, scale_ref, bias_ref, mask_ref, g_ref,
         pc = p.astype(compute)
 
         g_h = g[:, :, o:o + hd]                      # (W, N, hd) f32
-        # out_h = p · v  →  dp = g·vᵀ, dv = pᵀ·g
+        # out_h = p · v  →  dp = g·vᵀ, dv = pᵀ·g. (A store-each-grad-
+        # immediately ordering was tried for scoped-VMEM relief and cost
+        # AlterNet50 ~1.4 ms/step — the early store serialises against the
+        # score dots; the block_rows knob handles VMEM pressure instead.)
         dp = lax.dot_general(g_h.astype(compute), vh,
                              (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
@@ -549,16 +556,19 @@ def _sp_bwd_rule(num_heads, ws, residuals, g):
 fused_window_attention_spatial.defvjp(_sp_fwd_rule, _sp_bwd_rule)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6))
 def fused_window_attention(qkv: jnp.ndarray, scale: jnp.ndarray,
                            bias16: jnp.ndarray,
                            num_heads: int,
                            n_win_per_img: int,
-                           mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                           mask: Optional[jnp.ndarray] = None,
+                           block_rows: int = 1024) -> jnp.ndarray:
     """qkv (B_, N, 3C) compute-dtype; scale (heads,) f32 (already
     exp-clamped); bias16 (heads, N, N) f32 (already 16·sigmoid(CPB));
-    mask (nW, N, N) f32 additive or None. Returns (B_, N, C) f32."""
-    return _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask)
+    mask (nW, N, N) f32 additive or None; block_rows: see _pick_block.
+    Returns (B_, N, C) f32."""
+    return _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
+                block_rows)
 
 
 def _bwd_jnp(qkv, scale, bias16, mask, g, num_heads):
@@ -615,7 +625,8 @@ def _bwd_jnp(qkv, scale, bias16, mask, g, num_heads):
     return dqkv, jnp.stack(dscales), jnp.stack(dbiases)
 
 
-def _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask):
+def _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
+         block_rows=1024):
     B_, N, C3 = qkv.shape
     C = C3 // 3
     compute = qkv.dtype
@@ -624,8 +635,7 @@ def _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask):
     if _interpret():
         return _heads_fwd(qkv, scale, bias16, mask, num_heads, compute)
 
-    wb = _pick_block(B_, N, n_win_per_img,
-                     row_bytes=N * C3 * qkv.dtype.itemsize)
+    wb = _pick_block(B_, N, n_win_per_img, target_rows=block_rows)
     grid = (B_ // wb,)
 
     args = [qkv, jnp.reshape(scale, (1, num_heads)), bias16]
@@ -653,12 +663,14 @@ def _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask):
     return out
 
 
-def _fwd_rule(qkv, scale, bias16, num_heads, n_win_per_img, mask):
-    out = _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask)
+def _fwd_rule(qkv, scale, bias16, num_heads, n_win_per_img, mask,
+              block_rows):
+    out = _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
+               block_rows)
     return out, (qkv, scale, bias16, mask)
 
 
-def _bwd_rule(num_heads, n_win_per_img, residuals, g):
+def _bwd_rule(num_heads, n_win_per_img, block_rows, residuals, g):
     qkv, scale, bias16, mask = residuals
     B_, N, C3 = qkv.shape
     compute = qkv.dtype
@@ -672,8 +684,7 @@ def _bwd_rule(num_heads, n_win_per_img, residuals, g):
         dmask = jnp.zeros_like(mask) if has_mask else None
         return (dqkv, dscale, dbias, dmask)
 
-    wb = _pick_block(B_, N, n_win_per_img,
-                     row_bytes=N * C3 * qkv.dtype.itemsize)
+    wb = _pick_block(B_, N, n_win_per_img, target_rows=block_rows)
     grid = (B_ // wb,)
 
     args = [qkv, jnp.reshape(scale, (1, num_heads)), bias16]
