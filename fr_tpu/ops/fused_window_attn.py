@@ -106,9 +106,9 @@ def _norm(x_f32, axis=-1):
 
 
 def _heads_fwd(qkv, scale, bias16, mask_tiled, num_heads, compute_dtype):
-    """Shared forward math on one block: qkv (W, N, 3C) compute-dtype →
-    out (W, N, C) f32, plus per-head (p, s_raw, qn, kn, vh) for reuse in
-    the backward kernel (returned lazily by recomputation there)."""
+    """Forward math on one block, pure jnp: qkv (W, N, 3C) compute-dtype →
+    out (W, N, C) f32. The off-TPU twin of _fwd_body and the oracle the
+    TPU acceptance script compares the Mosaic lowering against."""
     W, N, C3 = qkv.shape
     C = C3 // 3
     hd = C // num_heads
