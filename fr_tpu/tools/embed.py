@@ -67,6 +67,17 @@ def main(argv=None):
     conf = load_config(args.config, network=args.network)
     if args.img_size:
         conf.img_size = args.img_size
+
+    import jax
+
+    # make_embed_step shards the batch dim over the mesh; round --batch up so
+    # every compiled batch divides evenly (padding makes the extra rows free)
+    n_dev = len(jax.devices())
+    if args.batch % n_dev:
+        args.batch = ((args.batch + n_dev - 1) // n_dev) * n_dev
+        print(f"--batch rounded up to {args.batch} "
+              f"(multiple of {n_dev} devices)")
+
     params, batch_stats, meta = load_encoder(args.ckpt, args.network)
     encoder = build_encoder(conf)
     mesh = make_mesh()

@@ -61,13 +61,28 @@ def _walk(jaxpr) -> float:
         elif name == "cond":
             branches = eqn.params["branches"]
             total += max(_walk(b.jaxpr) for b in branches)
+        elif name == "pallas_call":
+            # the kernel jaxpr describes ONE grid program; total work is
+            # grid-many executions of it
+            total += _pallas_grid_size(eqn) * _walk(_as_jaxpr(
+                eqn.params["jaxpr"]))
         else:
-            for k in ("jaxpr", "call_jaxpr"):
+            for k in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
                 sub = eqn.params.get(k)
                 if sub is not None:
-                    total += _walk(sub.jaxpr if hasattr(sub, "jaxpr") else sub)
+                    total += _walk(_as_jaxpr(sub))
                     break
     return total
+
+
+def _as_jaxpr(sub):
+    return sub.jaxpr if hasattr(sub, "jaxpr") else sub
+
+
+def _pallas_grid_size(eqn) -> float:
+    grid = getattr(eqn.params.get("grid_mapping"), "grid", ()) or ()
+    # dynamic grid dims trace as non-int objects; count them as 1
+    return math.prod(g for g in grid if isinstance(g, int)) if grid else 1.0
 
 
 # ---------------------------------------------------------------------------
@@ -164,11 +179,13 @@ def _walk_time(jaxpr) -> float:
         elif name == "cond":
             total += max(_walk_time(b.jaxpr)
                          for b in eqn.params["branches"])
+        elif name == "pallas_call":
+            total += _pallas_grid_size(eqn) * _walk_time(_as_jaxpr(
+                eqn.params["jaxpr"]))
         else:
-            for k in ("jaxpr", "call_jaxpr"):
+            for k in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
                 sub = eqn.params.get(k)
                 if sub is not None:
-                    total += _walk_time(
-                        sub.jaxpr if hasattr(sub, "jaxpr") else sub)
+                    total += _walk_time(_as_jaxpr(sub))
                     break
     return total
