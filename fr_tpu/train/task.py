@@ -39,8 +39,8 @@ from fr_tpu.models.common import l2_normalize
 from fr_tpu.parallel.mesh import make_mesh
 from fr_tpu.train.schedule import get_schedule
 from fr_tpu.train.state import init_train_state
-from fr_tpu.train.step import (make_train_step, prefetch_to_device,
-                               shard_batch)
+from fr_tpu.train.step import (embed_global_batch, make_train_step,
+                               prefetch_to_device, shard_batch)
 from fr_tpu.utils.logger import print_log
 
 
@@ -243,12 +243,13 @@ class FaceRecognitionTask:
         """(reference model/FR_PartialFC.py:196-225): pairs (b,2,H,W,C) →
         de-interleaved embeddings + wall-clock inference time."""
         pairs, labels = batch
-        b = pairs.shape[0]
         flat = np.asarray(pairs).reshape((-1,) + pairs.shape[2:])
         start = time.time()
-        emb = self._embed(self.state.params, self.state.batch_stats,
-                          jnp.asarray(flat))
-        emb = np.asarray(emb)  # value fetch = device sync
+        # pads + assembles the global device batch (multi-process aware) and
+        # fetches host-global embeddings back — every rank validates, unlike
+        # the reference's rank-0-only stall (utils/trainer.py:82-94)
+        emb = embed_global_batch(self.mesh, self._embed, self.state.params,
+                                 self.state.batch_stats, flat)
         infer_time = (time.time() - start) * 1000.0  # ms
         e1, e2 = emb[0::2], emb[1::2]
         return {
@@ -293,9 +294,9 @@ class FaceRecognitionTask:
         name = self.conf.test_dataset[dataset_idx]
         images, labels = batch
         start = time.time()
-        emb = np.asarray(self._embed(self.state.params,
-                                     self.state.batch_stats,
-                                     jnp.asarray(np.asarray(images))))
+        emb = embed_global_batch(self.mesh, self._embed, self.state.params,
+                                 self.state.batch_stats,
+                                 np.asarray(images))
         infer_time = (time.time() - start) * 1000.0
         return {f"{name}_embedding": emb,
                 f"{name}_label_list": np.asarray(labels),

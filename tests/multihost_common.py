@@ -72,4 +72,31 @@ def run_training(data: int, model: int, process_index: int,
         return s + jnp.sum(jnp.abs(w))
 
     checksum = float(_checksum(state.params, state.pfc.weight))
-    return losses, checksum
+
+    # --- validation epoch over the REAL multi-process eval path -----------
+    # (make_embed_step + embed_global_batch: global-batch assembly via
+    # make_array_from_process_local_data, host-global embedding fetch) —
+    # every rank validates and must report the identical accuracy
+    # (VERDICT round-2 #5; the reference stalls all ranks but rank 0,
+    # utils/trainer.py:82-94).
+    from fr_tpu.eval.verification import (pair_score, performance_acc,
+                                          performance_roc)
+    from fr_tpu.train.step import embed_global_batch, make_embed_step
+
+    embed = make_embed_step(conf, mesh, encoder)
+    n_pairs = 24
+    pairs = rng.integers(0, 256, (n_pairs, 2, img, img, 3)).astype(np.uint8)
+    pair_labels = rng.integers(0, 2, n_pairs).astype(bool)
+    embs = []
+    for s0 in range(0, n_pairs, 8):          # 8 pairs = 16 flat rows / batch
+        chunk = pairs[s0:s0 + 8]
+        flat = (chunk.reshape((-1, img, img, 3)).astype(np.float32)
+                / 255.0 - 0.5) / 0.5
+        embs.append(embed_global_batch(mesh, embed, state.params,
+                                       state.batch_stats, flat))
+    emb = np.concatenate(embs)
+    e1, e2 = emb[0::2], emb[1::2]
+    hg, hi, scores = pair_score(e1, e2, pair_labels)
+    _, eer_th = performance_roc(hg, hi, min_level=1, max_level=3)
+    acc = performance_acc(scores, pair_labels, eer_th)
+    return losses, checksum, acc

@@ -36,8 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from multihost_common import run_training  # noqa: E402
 
-losses, checksum = run_training(
+losses, checksum, val_acc = run_training(
     data=NUM_PROCESSES, model=N_LOCAL_DEVICES,
     process_index=jax.process_index(), process_count=jax.process_count())
 print(f"RESULT pid={pid} losses={','.join(f'{l:.10f}' for l in losses)} "
-      f"checksum={checksum:.10f}", flush=True)
+      f"checksum={checksum:.10f} val_acc={val_acc:.6f}", flush=True)

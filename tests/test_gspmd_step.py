@@ -74,3 +74,50 @@ def test_gspmd_descends_on_sharded_batch():
         state, m = step(state, xs, ys, 0.5, jax.random.key(2))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] and np.isfinite(losses).all()
+
+
+def test_gspmd_sampler_vmap_matches_loop_and_emits_one_rng_program():
+    """The GSPMD sampler vmaps fold_in over shard indices (VERDICT round-2
+    #7): values must equal the per-shard Python loop exactly, and the jaxpr
+    must hold ONE RNG program regardless of mesh size."""
+    import re
+
+    k0 = jax.random.key(42)
+    nl = 64
+
+    def vmapped(M):
+        return jax.vmap(lambda m: jax.random.uniform(
+            jax.random.fold_in(k0, m), (nl,)))(jnp.arange(M))
+
+    for M in (2, 8):
+        loop = jnp.stack([jax.random.uniform(jax.random.fold_in(k0, m), (nl,))
+                          for m in range(M)])
+        np.testing.assert_array_equal(np.asarray(vmapped(M)),
+                                      np.asarray(loop))
+
+    def n_rng_eqns(M):
+        s = str(jax.make_jaxpr(lambda: vmapped(M))())
+        return len(re.findall(r"threefry|random_bits|rng_bit", s))
+
+    assert n_rng_eqns(2) == n_rng_eqns(32)
+
+
+def test_embed_global_batch_pads_ragged_tail():
+    """embed_global_batch pads the flat batch to the device count and cuts
+    the result back (multi-host eval path, VERDICT round-2 #5; single-process
+    here — the 2-process path is exercised by tests/test_multihost.py)."""
+    from fr_tpu.train.step import embed_global_batch
+
+    mesh = make_mesh(data=4, model=2)
+    calls = []
+
+    def fake_embed(params, batch_stats, xs):
+        calls.append(xs.shape)
+        return jnp.sum(xs, axis=(1, 2, 3), keepdims=False)[:, None] * jnp.ones((1, 4))
+
+    flat = np.random.default_rng(0).standard_normal((10, 4, 4, 3)).astype(np.float32)
+    out = embed_global_batch(mesh, fake_embed, None, None, flat)
+    assert out.shape == (10, 4)
+    assert calls[0][0] % mesh.devices.size == 0 and calls[0][0] >= 10
+    expect = flat.sum(axis=(1, 2, 3))[:, None] * np.ones((1, 4))
+    np.testing.assert_allclose(out, expect, rtol=1e-4)

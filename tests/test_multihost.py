@@ -26,10 +26,11 @@ def _free_port() -> int:
 
 
 def _parse(line: str):
-    m = re.search(r"RESULT pid=(\d+) losses=(\S+) checksum=(\S+)", line)
+    m = re.search(
+        r"RESULT pid=(\d+) losses=(\S+) checksum=(\S+) val_acc=(\S+)", line)
     assert m, f"no RESULT line in: {line!r}"
     losses = [float(x) for x in m.group(2).split(",")]
-    return int(m.group(1)), losses, float(m.group(3))
+    return int(m.group(1)), losses, float(m.group(3)), float(m.group(4))
 
 
 def test_two_process_training_matches_single_process():
@@ -51,13 +52,16 @@ def test_two_process_training_matches_single_process():
     results = {}
     for out in outs:
         line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][-1]
-        pid, losses, checksum = _parse(line)
-        results[pid] = (losses, checksum)
+        pid, losses, checksum, val_acc = _parse(line)
+        results[pid] = (losses, checksum, val_acc)
     assert set(results) == {0, 1}
 
-    # both processes observe the same global losses / final weights
+    # both processes observe the same global losses / final weights, and the
+    # validation epoch (embed_global_batch eval path) reports the identical
+    # accuracy on every rank
     np.testing.assert_allclose(results[0][0], results[1][0], rtol=0)
     assert results[0][1] == results[1][1]
+    assert results[0][2] == results[1][2]
 
     # and they match the single-process 8-device run of the same program.
     # Tolerance: cross-process collectives run through Gloo with a different
@@ -65,7 +69,9 @@ def test_two_process_training_matches_single_process():
     # relative after 2 steps; anything beyond 1e-4 would flag a real
     # semantic divergence (wrong batch slice, wrong labels, missed grad).
     from multihost_common import run_training
-    ref_losses, ref_checksum = run_training(data=2, model=4,
-                                            process_index=0, process_count=1)
+    ref_losses, ref_checksum, ref_acc = run_training(
+        data=2, model=4, process_index=0, process_count=1)
     np.testing.assert_allclose(results[0][0], ref_losses, rtol=1e-4)
     np.testing.assert_allclose(results[0][1], ref_checksum, rtol=1e-4)
+    # accuracy is a thresholded count over 24 pairs — must agree exactly
+    assert results[0][2] == ref_acc
