@@ -75,8 +75,13 @@ def _row_env(row: str) -> dict:
         return {"BENCH_NETWORK": "AlterNet50", "BENCH_BATCH": "128",
                 "BENCH_CLASSES": "86690", "BENCH_SAMPLE_RATE": "0.3"}
     if row == "webface42m_head":
+        # sample_block=32: block-aligned negative sampling + the Pallas
+        # grouped gather / in-place update kernels (fr_tpu/ops/sparse_rows.py)
+        # — the TPU-native configuration for multi-million-identity heads
         return {"BENCH_NETWORK": "ResNet100", "BENCH_BATCH": "256",
-                "BENCH_CLASSES": "2059906", "BENCH_SAMPLE_RATE": "0.1"}
+                "BENCH_CLASSES": "2059906", "BENCH_SAMPLE_RATE": "0.1",
+                "BENCH_SAMPLE_BLOCK": os.environ.get(
+                    "BENCH_SAMPLE_BLOCK", "64")}
     raise ValueError(row)
 
 
@@ -133,12 +138,13 @@ def run_workload():
     mesh = make_mesh()
     n_chips = mesh.devices.size
     use_fused = os.environ.get("BENCH_FUSED", "0") == "1"
+    sample_block = int(os.environ.get("BENCH_SAMPLE_BLOCK", "1"))
     pfc_cfg = PFCConfig(
         num_classes=conf.n_classes, embedding_size=conf.emd_size,
         model_size=mesh.shape["model"], sample_rate=conf.sample_rate,
         margin=conf.metric, s=conf.loss_s, m=conf.loss_m,
         mixed_precision=True, optimizer=conf.optimizer_name,
-        use_fused=use_fused)
+        use_fused=use_fused, sample_block=sample_block)
 
     encoder = build_encoder(conf)
     # jitted init: eager op-by-op init pays ~33ms tunnel RPC per op
@@ -263,10 +269,12 @@ def run_workload():
         aug_tag += (", device-resident corpus"
                     if os.environ.get("BENCH_DEVICE_CORPUS", "0") == "1"
                     else ", packed corpus")
+    block_tag = (f", sample_block={sample_block}" if sample_block > 1
+                 else "")
     return {
         "metric": f"{network}+{conf.metric} train throughput "
-                  f"(b={batch}, C={n_classes}, r={conf.sample_rate}, "
-                  f"bf16{aug_tag})",
+                  f"(b={batch}, C={n_classes}, r={conf.sample_rate}"
+                  f"{block_tag}, bf16{aug_tag})",
         "value": round(imgs_per_sec_chip, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(vs_achievable, 4) if vs_achievable else None,

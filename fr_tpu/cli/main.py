@@ -30,6 +30,13 @@ def parse_args(argv=None):
     p.add_argument("--optimizer", type=str, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--sample_rate", type=float, default=None)
+    p.add_argument("--sample_block", type=int, default=1,
+                   help="block-aligned negative sampling: draw groups of N "
+                        "consecutive class rows instead of single rows "
+                        "(TPU-native layout for multi-million-identity "
+                        "heads; Pallas grouped gather + in-place update, "
+                        "fr_tpu/ops/sparse_rows.py). 1 = reference-exact "
+                        "per-row sampling")
     p.add_argument("--ckpt_path", type=str, default=None)
     p.add_argument("--test_type", type=str, default="pair",
                    choices=["pair", "cross"])
@@ -78,6 +85,7 @@ def build_conf(args):
         ckpt_path=args.ckpt_path)
     conf.test_type = args.test_type
     conf.spmd_mode = args.spmd_mode
+    conf.sample_block = args.sample_block
     if args.test_b is not None:
         conf.test_b = args.test_b
     conf.img_size = (args.img_size if args.img_size

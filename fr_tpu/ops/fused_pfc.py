@@ -247,8 +247,10 @@ def fused_margin_softmax_ce(emb, w, label_cols, col_valid, cfg, model_axis,
                             tiles):
     """Per-sample margin-softmax CE over (possibly sharded) class columns.
 
-    emb        : (N, D) L2-normalised embeddings (f32)
-    w          : (K, D) L2-normalised activated class centers (f32)
+    emb        : (N, D) L2-normalised embeddings (f32, or bf16 under mixed
+                 precision — feed the compute dtype so tile traffic matches
+                 the jnp path; kernels accumulate f32 either way)
+    w          : (K, D) L2-normalised activated class centers (same dtype)
     label_cols : (N,) int32 local column of the target, or -1
     col_valid  : (K,) bool — False for padding class columns
     cfg        : PFCConfig-like (margin, s, m, mixed_precision, num_classes…)
@@ -372,7 +374,8 @@ def _bwd_rule(cfg, model_axis, tiles, res, g):
     g = jnp.where(p >= 1e-30, g, 0.0)
     if _interpret():
         ge, gw = _bwd_jnp(emb, w, label_cols, col_valid, m_g, d_g, g, cfg)
-        return (_match_cotangent_vma(ge, emb), _match_cotangent_vma(gw, w),
+        return (_match_cotangent_vma(ge.astype(emb.dtype), emb),
+                _match_cotangent_vma(gw.astype(w.dtype), w),
                 None, None)
     bt, kt = tiles
     n, d_dim = emb.shape
@@ -429,7 +432,10 @@ def _bwd_rule(cfg, model_axis, tiles, res, g):
         interpret=_interpret(),
     )(emb_p, w_p, lab_p, cv, m_p, d_p, g_p)[:k]
 
-    return (_match_cotangent_vma(ge, emb), _match_cotangent_vma(gw, w),
+    # cotangent dtype must match the primal dtype (bf16 operands under mixed
+    # precision — the f32→bf16 cast outside this custom_vjp converts back)
+    return (_match_cotangent_vma(ge.astype(emb.dtype), emb),
+            _match_cotangent_vma(gw.astype(w.dtype), w),
             None, None)
 
 

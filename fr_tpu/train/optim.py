@@ -186,7 +186,15 @@ def pfc_row_update_grouped(optimizer: str, conf, weight, slots, idx2d,
     raise ValueError(optimizer)
 
 
-def pfc_row_update(optimizer: str, conf, weight, slots, idx, grad_rows, lr, count):
+def pfc_row_update(optimizer: str, conf, weight, slots, idx, grad_rows, lr,
+                   count, gidx=None, block: int = 1):
+    """gidx/block: block-aligned sampling (PFCConfig.sample_block > 1) takes
+    the fused Pallas in-place grouped update — ~7.5× XLA's sampled-row
+    gather/update/scatter at WebFace42M scale (fr_tpu/ops/sparse_rows.py)."""
+    if gidx is not None and block > 1:
+        from fr_tpu.ops.sparse_rows import grouped_update
+        return grouped_update(optimizer, conf, weight, slots, gidx,
+                              grad_rows, lr, count, block)
     if optimizer == "SGD":
         return row_sgd_update(weight, slots, idx, grad_rows, lr, conf.wd, conf.mom)
     if optimizer == "AdamW":

@@ -40,6 +40,8 @@ from fr_tpu.heads.partial_fc import (
     PFCConfig,
     remap_labels,
     sample_columns,
+    sample_groups,
+    shard_group_masks,
     shard_softmax_ce,
     shard_valid_mask,
 )
@@ -118,16 +120,33 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
         # is identical across the 'data' axis and the row update is uniform.
         class_start = midx * num_local
         valid = shard_valid_mask(pfc_cfg, midx)
+        gidx = None
         if pfc_cfg.sampling:
             loc_all = labels - class_start
             owned_all = (loc_all >= 0) & (loc_all < num_local)
-            pos_mask = jnp.zeros((num_local,), jnp.int32).at[
-                jnp.where(owned_all, loc_all, 0)].max(
-                owned_all.astype(jnp.int32)) > 0
             k = stream_key(key, STREAM_SAMPLE, state.step, midx)
-            idx = sample_columns(pfc_cfg, k, pos_mask, valid)
-            col_valid = valid[idx]
-            w_rows = take_rows(state.pfc.weight, idx)
+            if pfc_cfg.sample_block > 1:
+                # block-aligned sampling → Pallas grouped gather + in-place
+                # update (fr_tpu/ops/sparse_rows.py; VERDICT round-2 #1).
+                # All masks at GROUP granularity and col_valid arithmetic —
+                # row-granular masks alone cost ~4 ms/step at C=2M
+                # (XPlane trace, ROUND3_NOTES.md).
+                from fr_tpu.ops.sparse_rows import (expand_group_index,
+                                                    grouped_gather)
+                gpos, gvalid = shard_group_masks(pfc_cfg, midx, loc_all,
+                                                 owned_all)
+                gidx = sample_groups(pfc_cfg, k, gpos, gvalid)
+                idx = expand_group_index(gidx, pfc_cfg.sample_block)
+                col_valid = (class_start + idx) < pfc_cfg.num_classes
+                w_rows = grouped_gather(state.pfc.weight, gidx,
+                                        pfc_cfg.sample_block)
+            else:
+                pos_mask = jnp.zeros((num_local,), jnp.int32).at[
+                    jnp.where(owned_all, loc_all, 0)].max(
+                    owned_all.astype(jnp.int32)) > 0
+                idx = sample_columns(pfc_cfg, k, pos_mask, valid)
+                col_valid = valid[idx]
+                w_rows = take_rows(state.pfc.weight, idx)
         else:
             idx = None
             col_valid = valid
@@ -193,7 +212,7 @@ def make_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
         # PartialFCAdamW.step (nets/PartialFC.py:297,327).
         new_w, new_slots = pfc_row_update(
             optimizer, conf, state.pfc.weight, state.pfc.slots, idx, g_rows,
-            lr, state.pfc.count + 1)
+            lr, state.pfc.count + 1, gidx=gidx, block=pfc_cfg.sample_block)
 
         new_state = state.replace(
             step=state.step + 1,
@@ -299,27 +318,52 @@ def make_gspmd_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
 
         valid = jnp.arange(C_pad) < pfc_cfg.num_classes
         if pfc_cfg.sampling:
-            pos = jnp.zeros((C_pad,), jnp.int32).at[labels].max(1) > 0
             k0 = stream_key(key, STREAM_SAMPLE, state.step)
-            # same per-shard RNG stream as the shard_map path (fold_in(midx)),
-            # vmapped over the shard index so the jaxpr holds ONE RNG program
-            # regardless of mesh size (a Python loop emits M copies — fine at
-            # M≤8, pathological at pod scale; VERDICT round-2 #7)
-            perm = jax.vmap(lambda m: jax.random.uniform(
-                jax.random.fold_in(k0, m), (num_local,)))(
-                jnp.arange(M))                            # (M, num_local)
-            perm = jnp.where(pos.reshape(M, num_local), 2.0, perm)
-            perm = jnp.where(valid.reshape(M, num_local), perm, -1.0)
-            _, idx2d = lax.top_k(perm, num_sample)        # (M, num_sample)
-            idx2d = jnp.sort(idx2d, axis=1)
+            block = pfc_cfg.sample_block
+            if block > 1:
+                # block-aligned sampling, same group RNG stream as the
+                # shard_map path (sample_groups); XLA-only lowering here —
+                # pallas has no SPMD partitioning rule, so GSPMD keeps the
+                # take_along_axis/grouped-scatter path on the expanded rows.
+                # Masks at group granularity (no C_pad-sized arrays).
+                ngl = num_local // block
+                gpos = (jnp.zeros((M * ngl,), jnp.int32)
+                        .at[labels // block].max(1) > 0).reshape(M, ngl)
+                shard_row0 = (jnp.arange(M)[:, None] * num_local
+                              + jnp.arange(ngl)[None, :] * block)
+                gval = shard_row0 < pfc_cfg.num_classes
+                perm = jax.vmap(lambda m: jax.random.uniform(
+                    jax.random.fold_in(k0, m), (ngl,)))(jnp.arange(M))
+                perm = jnp.where(gpos, 2.0, perm)
+                perm = jnp.where(gval, perm, -1.0)
+                _, gidx2d = lax.top_k(perm, pfc_cfg.num_sample_groups)
+                gidx2d = jnp.sort(gidx2d, axis=1)
+                idx2d = (gidx2d[:, :, None] * block
+                         + jnp.arange(block)[None, None, :]
+                         ).reshape(M, num_sample)
+            else:
+                # per-row sampling RNG stream (fold_in(midx)), vmapped over
+                # the shard index so the jaxpr holds ONE RNG program
+                # regardless of mesh size (a Python loop emits M copies —
+                # fine at M≤8, pathological at pod scale; VERDICT r2 #7)
+                pos = jnp.zeros((C_pad,), jnp.int32).at[labels].max(1) > 0
+                perm = jax.vmap(lambda m: jax.random.uniform(
+                    jax.random.fold_in(k0, m), (num_local,)))(
+                    jnp.arange(M))                        # (M, num_local)
+                perm = jnp.where(pos.reshape(M, num_local), 2.0, perm)
+                perm = jnp.where(valid.reshape(M, num_local), perm, -1.0)
+                _, idx2d = lax.top_k(perm, num_sample)    # (M, num_sample)
+                idx2d = jnp.sort(idx2d, axis=1)
             idx2d = constrain(idx2d, P(MODEL_AXIS, None))
 
             w3 = state.pfc.weight.reshape(M, num_local, -1)
             w_act = jnp.take_along_axis(w3, idx2d[:, :, None], axis=1)
             w_act = constrain(w_act, P(MODEL_AXIS, None, None))
             w_act = w_act.reshape(M * num_sample, -1)
-            col_valid = jnp.take_along_axis(
-                valid.reshape(M, num_local), idx2d, axis=1).reshape(-1)
+            # global row id of each sampled column — arithmetic validity
+            # (no C_pad-sized mask gather)
+            col_valid = ((jnp.arange(M)[:, None] * num_local + idx2d)
+                         < pfc_cfg.num_classes).reshape(-1)
 
             # label → sampled-column position: shard row + searchsorted
             m_of = labels // num_local

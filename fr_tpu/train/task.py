@@ -55,7 +55,8 @@ def pfc_config_from_conf(conf, model_size: int) -> PFCConfig:
         margin=conf.metric, s=conf.loss_s, m=conf.loss_m,
         mixed_precision=conf.mixed_precision, optimizer=conf.optimizer_name,
         use_fused=bool(use_fused),
-        easy_margin=bool(conf.get("easy_margin", False)))
+        easy_margin=bool(conf.get("easy_margin", False)),
+        sample_block=int(conf.get("sample_block", 1)))
 
 
 class FaceRecognitionTask:

@@ -46,7 +46,9 @@ def main():
     pfc_cfg = PFCConfig(
         num_classes=n_classes, embedding_size=conf.emd_size, model_size=1,
         sample_rate=sample_rate, margin=conf.metric, s=conf.loss_s,
-        m=conf.loss_m, mixed_precision=True, optimizer=conf.optimizer_name)
+        m=conf.loss_m, mixed_precision=True, optimizer=conf.optimizer_name,
+        use_fused=os.environ.get("TRACE_FUSED", "0") == "1",
+        sample_block=int(os.environ.get("TRACE_SAMPLE_BLOCK", "1")))
     encoder = build_encoder(conf)
     state = jax.jit(lambda k: init_train_state(
         k, conf, encoder, pfc_cfg, conf.img_size))(jax.random.key(0))
