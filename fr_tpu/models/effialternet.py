@@ -72,6 +72,61 @@ class EConv(nn.Module):
                        precision=matmul_precision(self.dtype))(x)
 
 
+class _DWKernel(nn.Module):
+    """Bare depthwise-conv kernel param, named to match nn.Conv's tree
+    (EConv → Conv_0 → kernel, shape (kh, kw, 1, C)) so checkpoints are
+    interchangeable with the lax.conv path."""
+    channels: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", trunc02,
+                          (self.kernel, self.kernel, 1, self.channels),
+                          jnp.float32)
+
+
+class DepthwiseTaps(nn.Module):
+    """Depthwise 3×3 conv as 9 explicit shifted multiply-adds.
+
+    Identical math to lax.conv_general_dilated with feature_group_count=C
+    (same params, same padding (1,1), same stride; bit-exact parity test in
+    tests/test_backbones.py), written so XLA COULD fuse the surrounding
+    elementwise work (BN-apply+SiLU before, BN statistics after) into one
+    loop fusion over the MBConv hidden map.
+
+    MEASURED NEGATIVE (kept as the documented experiment, default OFF):
+    EffiAlter_m b=128 on v5e trains at 116.6 ms/step with taps vs 78.4 with
+    the native depthwise conv — XLA:TPU materialises the 9 strided slices
+    instead of folding them into one fusion, multiplying hidden-map traffic
+    ~9× and dwarfing the BN-pass savings the rewrite targeted (same failure
+    mode as the round-2 maxpool-backward reformulation, ROUND2_NOTES.md #3).
+    Enable with conf.dw_taps=true only to reproduce the measurement."""
+    channels: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = _DWKernel(self.channels, name="Conv_0")().astype(self.dtype)
+        B, H, W, C = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        s = self.stride
+        # output spatial = floor((H-3+2)/s)+1, torch/lax 'same-ish' padding 1
+        oh = (H - 1) // s + 1
+        ow = (W - 1) // s + 1
+        acc = None
+        for a in range(3):
+            for b in range(3):
+                sl = jax.lax.slice(
+                    xp, (0, a, b, 0),
+                    (B, a + (oh - 1) * s + 1, b + (ow - 1) * s + 1, C),
+                    (1, s, s, 1))
+                term = sl * k[a, b, 0][None, None, None, :]
+                acc = term if acc is None else acc + term
+        return acc
+
+
 class SELayer(nn.Module):
     """Squeeze-excitation (reference :505-520); fc widths follow the
     reference's (inp, hidden) argument convention."""
@@ -100,6 +155,7 @@ class MBConv(nn.Module):
     expand_ratio: int
     use_se: bool
     dtype: Any = jnp.float32
+    dw_taps: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -107,15 +163,22 @@ class MBConv(nn.Module):
         identity = self.stride == 1 and self.inp == self.oup
         h = x
         if self.use_se:
-            h = EConv(hidden, kernel=1, dtype=self.dtype)(h)
+            # explicit EConv_{0,1,2} names: the dw_taps variant swaps in
+            # DepthwiseTaps under the SAME "EConv_1/Conv_0/kernel" path so
+            # both formulations share checkpoints / the torch import-export
+            h = EConv(hidden, kernel=1, dtype=self.dtype, name="EConv_0")(h)
             h = BatchNorm()(h, use_running_average=not train)
             h = nn.silu(h)
-            h = EConv(hidden, kernel=3, stride=self.stride, groups=hidden,
-                      dtype=self.dtype)(h)
+            if self.dw_taps:
+                h = DepthwiseTaps(hidden, stride=self.stride,
+                                  dtype=self.dtype, name="EConv_1")(h)
+            else:
+                h = EConv(hidden, kernel=3, stride=self.stride,
+                          groups=hidden, dtype=self.dtype, name="EConv_1")(h)
             h = BatchNorm()(h, use_running_average=not train)
             h = nn.silu(h)
             h = SELayer(self.inp, hidden, dtype=self.dtype)(h)
-            h = EConv(self.oup, kernel=1, dtype=self.dtype)(h)
+            h = EConv(self.oup, kernel=1, dtype=self.dtype, name="EConv_2")(h)
             h = BatchNorm()(h, use_running_average=not train)
         else:
             h = EConv(hidden, kernel=3, stride=self.stride,
@@ -232,6 +295,7 @@ class EffNetV2(nn.Module):
     width_mult: float = 1.0
     dtype: Any = jnp.float32
     fused_attn: bool = True
+    dw_taps: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -257,11 +321,12 @@ class EffNetV2(nn.Module):
                 seq[-2 * i - 1] = True
 
             x = MBConv(in_ch, out_ch, s, t, bool(use_se),
-                       dtype=self.dtype)(x, train)
+                       dtype=self.dtype, dw_taps=self.dw_taps)(x, train)
             for is_alt in seq:
                 if not is_alt:
                     x = MBConv(out_ch, out_ch, 1, t, bool(use_se),
-                               dtype=self.dtype)(x, train)
+                               dtype=self.dtype,
+                               dw_taps=self.dw_taps)(x, train)
                 else:
                     x = FANSwinBlock(out_ch, heads, (res, res),
                                      window=window, dtype=self.dtype,
@@ -316,4 +381,5 @@ def build_effialternet(conf) -> EffNetV2:
     dtype = jnp.bfloat16 if conf.get("mixed_precision", False) else jnp.float32
     return EffNetV2(cfgs=EFFIALTER_CFGS[conf.network], img_size=conf.img_size,
                     emd_size=conf.emd_size, dtype=dtype,
-                    fused_attn=bool(conf.get("fused_attn", True)))
+                    fused_attn=bool(conf.get("fused_attn", True)),
+                    dw_taps=bool(conf.get("dw_taps", False)))

@@ -322,3 +322,30 @@ def test_alternet_sep_forward_shape():
     variables = enc.init(jax.random.key(0), x, train=False)
     out = enc.apply(variables, x, train=False)
     assert out.shape == (2, 64)
+
+
+def test_depthwise_taps_matches_lax_conv():
+    """DepthwiseTaps (9 explicit shifted multiply-adds; measured NEGATIVE
+    on v5e, kept as the documented experiment — ROUND3_NOTES.md) matches the
+    lax depthwise conv for the same params, stride 1 and 2, and shares the
+    exact parameter tree (checkpoint-interchangeable)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fr_tpu.models.effialternet import MBConv
+
+    rng = np.random.default_rng(0)
+    for stride in (1, 2):
+        x = jnp.asarray(rng.standard_normal((2, 14, 14, 8)).astype(np.float32))
+        m_tap = MBConv(8, 8, stride, 4, True, dw_taps=True)
+        m_lax = MBConv(8, 8, stride, 4, True, dw_taps=False)
+        v = m_tap.init(jax.random.key(0), x, train=False)
+        assert (jax.tree.structure(v) ==
+                jax.tree.structure(m_lax.init(jax.random.key(0), x,
+                                              train=False)))
+        ya = m_tap.apply(v, x, train=False)
+        yb = m_lax.apply(v, x, train=False)
+        # tap-sum order differs from the conv emitter's accumulation order
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   rtol=1e-4, atol=1e-5)
