@@ -146,8 +146,23 @@ def main() -> int:
     m_err = float(jnp.max(jnp.abs(sk["momentum"] - sr["momentum"])))
     assert g_err == 0.0 and u_err < 1e-6 and m_err < 1e-6, \
         (g_err, u_err, m_err)
+    # AdamW variant (3 aliased tables)
+    aconf = Config(wd=5e-4, mom=0.9, betas=(0.9, 0.999), eps=1e-8)
+    aslots = {"exp_avg": jnp.asarray(
+        rng.standard_normal((c_small, D)).astype(np.float32)),
+        "exp_avg_sq": jnp.asarray(
+        np.abs(rng.standard_normal((c_small, D))).astype(np.float32))}
+    awr, asr = pfc_row_update("AdamW", aconf, tbl, aslots, idx_rows, grows,
+                              jnp.float32(0.05), jnp.int32(7))
+    awk, ask = jax.jit(lambda *a: grouped_update("AdamW", aconf, *a, block))(
+        tbl, aslots, gidx, grows, jnp.float32(0.05), jnp.int32(7))
+    a_err = max(float(jnp.max(jnp.abs(awk - awr))),
+                float(jnp.max(jnp.abs(ask["exp_avg"] - asr["exp_avg"]))),
+                float(jnp.max(jnp.abs(ask["exp_avg_sq"]
+                                      - asr["exp_avg_sq"]))))
+    assert a_err < 1e-6, a_err
     print(f"grouped sparse-row kernels ok (gather {g_err:.1e}, "
-          f"update {u_err:.1e}/{m_err:.1e}, block={block})")
+          f"sgd {u_err:.1e}/{m_err:.1e}, adamw {a_err:.1e}, block={block})")
 
     # 2. five R50 train steps from synthetic identities — loss must descend
     from fr_tpu.configs import load_config

@@ -187,3 +187,68 @@ def test_gspmd_matches_shard_map_block_sampling():
     np.testing.assert_allclose(results[0][0], results[1][0], rtol=2e-5)
     np.testing.assert_allclose(results[0][1], results[1][1],
                                rtol=2e-4, atol=2e-6)
+
+
+def test_block_sampling_matches_per_row_verification_accuracy():
+    """Training quality under the block-sampled distribution: 40 steps from
+    identical init on identical batches, block=2 vs the reference-exact
+    per-row sampling, then the exact reference pair-verification procedure
+    on both — accuracies must agree closely (the only semantic change is
+    within-group negative correlation, ROUND3_NOTES.md)."""
+    from fr_tpu.eval.verification import (pair_score, performance_acc,
+                                          performance_roc)
+    from fr_tpu.train.step import make_embed_step
+
+    IMG, C, B, STEPS = 56, 32, 16, 40
+    rng = np.random.default_rng(0)
+    templates = rng.integers(0, 256, (C, IMG, IMG, 3)).astype(np.int32)
+
+    def batch(i):
+        r = np.random.default_rng(100 + i)
+        y = r.integers(0, 16, B).astype(np.int32)   # within group capacity
+        x = np.clip(templates[y] + r.integers(-70, 71, (B, IMG, IMG, 3)),
+                    0, 255)
+        return (x.astype(np.float32) / 255.0 - 0.5) / 0.5, y
+
+    n_pairs = 400
+    pr = np.random.default_rng(7)
+    y1 = pr.integers(0, C, n_pairs)
+    same = pr.integers(0, 2, n_pairs).astype(bool)
+    y2 = np.where(same, y1, (y1 + 1 + pr.integers(0, C - 1, n_pairs)) % C)
+    flat = np.empty((2 * n_pairs, IMG, IMG, 3), np.float32)
+    flat[0::2] = (np.clip(templates[y1] + pr.integers(
+        -70, 71, (n_pairs, IMG, IMG, 3)), 0, 255) / 255.0 - 0.5) / 0.5
+    flat[1::2] = (np.clip(templates[y2] + pr.integers(
+        -70, 71, (n_pairs, IMG, IMG, 3)), 0, 255) / 255.0 - 0.5) / 0.5
+
+    accs = {}
+    for block in (1, 2):
+        conf = _conf("SGD")
+        conf.n_classes = C
+        conf.img_size = IMG
+        conf.sample_rate = 0.75
+        cfg = PFCConfig(num_classes=C, embedding_size=D, model_size=4,
+                        sample_rate=0.75, margin="ArcFace", s=30.0, m=0.35,
+                        mixed_precision=False, optimizer="SGD",
+                        sample_block=block)
+        assert cfg.sampling
+        mesh = make_mesh(data=2, model=4)
+        from fr_tpu.models import build_encoder
+        enc = build_encoder(conf)
+        state = init_train_state(jax.random.key(3), conf, enc, cfg, IMG)
+        step = make_train_step(conf, mesh, enc, cfg, donate=False)
+        for i in range(STEPS):
+            x, y = batch(i)
+            xs, ys = shard_batch(mesh, x, y)
+            state, m = step(state, xs, ys, 0.05, jax.random.key(i))
+        assert np.isfinite(float(m["loss"]))
+        embed = make_embed_step(conf, mesh, enc)
+        emb = np.asarray(embed(state.params, state.batch_stats,
+                               jnp.asarray(flat)))
+        hg, hi, scores = pair_score(emb[0::2], emb[1::2], same)
+        _, eer_th = performance_roc(hg, hi, min_level=1, max_level=3)
+        accs[block] = performance_acc(scores, same, eer_th)
+
+    # both sampling distributions must learn comparably well
+    assert accs[1] > 75.0 and accs[2] > 75.0, accs
+    assert abs(accs[1] - accs[2]) <= 3.0, accs
