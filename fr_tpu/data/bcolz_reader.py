@@ -78,6 +78,9 @@ def decompress_chunk(buf: bytes) -> bytes:
     lib = load_blosc()
     if lib is None:
         raise RuntimeError("libblosc not found — cannot decode blosc chunks")
+    if len(buf) < 16:
+        raise ValueError(f"blosc chunk shorter than its 16-byte header "
+                         f"({len(buf)} bytes)")
     nbytes = ctypes.c_size_t()
     cbytes = ctypes.c_size_t()
     blocksize = ctypes.c_size_t()
