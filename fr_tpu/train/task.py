@@ -35,7 +35,6 @@ from fr_tpu.eval.verification import (
 )
 from fr_tpu.heads.partial_fc import PFCConfig
 from fr_tpu.models import build_encoder
-from fr_tpu.models.common import l2_normalize
 from fr_tpu.parallel.mesh import make_mesh
 from fr_tpu.train.schedule import get_schedule
 from fr_tpu.train.state import init_train_state

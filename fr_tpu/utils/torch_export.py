@@ -27,7 +27,7 @@ Conventions (inverse of torch_import):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping
 
 import numpy as np
 
