@@ -43,7 +43,19 @@ import time
 
 import numpy as np
 
-ROWS = ("r100_synthetic", "r100_realdata", "alternet50", "webface42m_head")
+ROWS = ("r100_synthetic", "r100_realdata", "alternet50", "swin50",
+        "effialter_m", "webface42m_head")
+
+# Every env var that defines WHAT a row measures. _row_env pins each of
+# these for every row (ADVICE r3 medium: user-exported workload vars —
+# e.g. a global BENCH_PACKED supplying a real corpus for r100_realdata —
+# must not leak into the other rows and silently change what they run).
+WORKLOAD_VARS = {
+    "BENCH_NETWORK": "ResNet100", "BENCH_BATCH": "256",
+    "BENCH_CLASSES": "86690", "BENCH_SAMPLE_RATE": "0.3",
+    "BENCH_SAMPLE_BLOCK": "1", "BENCH_PACKED": "", "BENCH_AUGMENT": "0",
+    "BENCH_DEVICE_CORPUS": "0", "BENCH_FUSED": "0",
+}
 
 
 def peak_bf16_tflops() -> float:
@@ -61,28 +73,33 @@ def peak_bf16_tflops() -> float:
 
 
 def _row_env(row: str) -> dict:
-    """Env-var overrides defining each matrix row."""
+    """Full workload-env pin for each matrix row: starts from WORKLOAD_VARS
+    (everything defaulted/cleared) and overrides only what the row is."""
+    env = dict(WORKLOAD_VARS)
     if row == "r100_synthetic":
-        return {"BENCH_NETWORK": "ResNet100", "BENCH_BATCH": "256",
-                "BENCH_CLASSES": "86690", "BENCH_SAMPLE_RATE": "0.3"}
-    if row == "r100_realdata":
-        return {"BENCH_NETWORK": "ResNet100", "BENCH_BATCH": "256",
-                "BENCH_CLASSES": "86690", "BENCH_SAMPLE_RATE": "0.3",
-                "BENCH_PACKED": os.environ.get(
-                    "BENCH_PACKED", "/tmp/fr_bench_packed"),
-                "BENCH_DEVICE_CORPUS": "1"}
-    if row == "alternet50":
-        return {"BENCH_NETWORK": "AlterNet50", "BENCH_BATCH": "128",
-                "BENCH_CLASSES": "86690", "BENCH_SAMPLE_RATE": "0.3"}
-    if row == "webface42m_head":
-        # sample_block=32: block-aligned negative sampling + the Pallas
-        # grouped gather / in-place update kernels (fr_tpu/ops/sparse_rows.py)
-        # — the TPU-native configuration for multi-million-identity heads
-        return {"BENCH_NETWORK": "ResNet100", "BENCH_BATCH": "256",
-                "BENCH_CLASSES": "2059906", "BENCH_SAMPLE_RATE": "0.1",
-                "BENCH_SAMPLE_BLOCK": os.environ.get(
-                    "BENCH_SAMPLE_BLOCK", "64")}
-    raise ValueError(row)
+        pass  # the WORKLOAD_VARS defaults ARE this row
+    elif row == "r100_realdata":
+        env.update({"BENCH_PACKED": os.environ.get(
+                        "BENCH_PACKED", "/tmp/fr_bench_packed"),
+                    "BENCH_DEVICE_CORPUS": "1"})
+    elif row == "alternet50":
+        env.update({"BENCH_NETWORK": "AlterNet50", "BENCH_BATCH": "128"})
+    elif row == "swin50":
+        env.update({"BENCH_NETWORK": "Swin50", "BENCH_BATCH": "128"})
+    elif row == "effialter_m":
+        env.update({"BENCH_NETWORK": "EffiAlter_m", "BENCH_BATCH": "128"})
+    elif row == "webface42m_head":
+        # sample_block=64 (default): block-aligned negative sampling + the
+        # Pallas grouped gather / in-place update kernels
+        # (fr_tpu/ops/sparse_rows.py) — the TPU-native configuration for
+        # multi-million-identity heads
+        env.update({"BENCH_NETWORK": "ResNet100", "BENCH_BATCH": "256",
+                    "BENCH_CLASSES": "2059906", "BENCH_SAMPLE_RATE": "0.1",
+                    "BENCH_SAMPLE_BLOCK": os.environ.get(
+                        "BENCH_SAMPLE_BLOCK", "64")})
+    else:
+        raise ValueError(row)
+    return env
 
 
 def ensure_packed_corpus(path: str, n: int = 4096, img_size: int = 112,
@@ -90,10 +107,16 @@ def ensure_packed_corpus(path: str, n: int = 4096, img_size: int = 112,
     """A synthetic packed corpus (fr_tpu/data/packed.py layout) so the
     real-data *path* — memmap ingest, native gather, device-resident corpus,
     on-device augment — is exercised even when no face corpus is mounted.
-    Replaced by a real `pack_dataset` output via BENCH_PACKED when one is."""
+    Replaced by a real `pack_dataset` output via BENCH_PACKED when one is.
+    Returns "user" if images.npy already existed at `path`, else generates
+    the corpus and returns "synthetic" (ADVICE r3: a typo'd real-corpus path
+    must be visible in the row output, not silently fabricated)."""
     images_f = os.path.join(path, "images.npy")
     if os.path.exists(images_f):
-        return path
+        return "user"
+    print(f"bench: no packed corpus at {path} — generating a synthetic "
+          f"{n}-image one (row will be marked corpus=synthetic)",
+          file=sys.stderr)
     os.makedirs(path, exist_ok=True)
     rng = np.random.default_rng(0)
     images = np.lib.format.open_memmap(
@@ -105,7 +128,7 @@ def ensure_packed_corpus(path: str, n: int = 4096, img_size: int = 112,
             rng.integers(0, n_classes, n).astype(np.int32))
     with open(os.path.join(path, "classes.json"), "w") as fh:
         json.dump([str(i) for i in range(n_classes)], fh)
-    return path
+    return "synthetic"
 
 
 def run_workload():
@@ -165,13 +188,14 @@ def run_workload():
     step = make_train_step(conf, mesh, encoder, pfc_cfg, augment_cfg=aug_cfg)
 
     batches = None
+    corpus_kind = None
     if packed_dir and os.environ.get("BENCH_DEVICE_CORPUS", "0") == "1":
         # TPU-native path for HBM-sized corpora: corpus resident on device,
         # per-step on-device gather, only KBs of indices cross the link
         from fr_tpu.data.device_corpus import DeviceCorpusLoader
         from fr_tpu.data.packed import PackedTrainLoader
-        ensure_packed_corpus(packed_dir, img_size=conf.img_size,
-                             n_classes=n_classes)
+        corpus_kind = ensure_packed_corpus(packed_dir, img_size=conf.img_size,
+                                           n_classes=n_classes)
         src = PackedTrainLoader(packed_dir, batch)
         loader = DeviceCorpusLoader(src.images, src.labels % n_classes,
                                     batch, mesh)
@@ -188,8 +212,8 @@ def run_workload():
     elif packed_dir:
         from fr_tpu.data.packed import PackedTrainLoader
         from fr_tpu.train.step import prefetch_to_device
-        ensure_packed_corpus(packed_dir, img_size=conf.img_size,
-                             n_classes=n_classes)
+        corpus_kind = ensure_packed_corpus(packed_dir, img_size=conf.img_size,
+                                           n_classes=n_classes)
         loader = PackedTrainLoader(packed_dir, batch)
 
         def host_batches():
@@ -271,7 +295,7 @@ def run_workload():
                     else ", packed corpus")
     block_tag = (f", sample_block={sample_block}" if sample_block > 1
                  else "")
-    return {
+    row = {
         "metric": f"{network}+{conf.metric} train throughput "
                   f"(b={batch}, C={n_classes}, r={conf.sample_rate}"
                   f"{block_tag}, bf16{aug_tag})",
@@ -281,6 +305,9 @@ def run_workload():
         "vs_naive_roofline": round(vs_naive, 4) if vs_naive else None,
         "step_ms": round(batch / imgs_per_sec * 1e3, 2),
     }
+    if corpus_kind is not None:
+        row["corpus"] = corpus_kind
+    return row
 
 
 def main():

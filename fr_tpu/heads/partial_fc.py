@@ -62,15 +62,20 @@ class PFCConfig:
     # Block-aligned negative sampling (TPU-native layout; fr_tpu/ops/
     # sparse_rows.py). 1 = the reference's exact per-row sampling
     # (nets/PartialFC.py:108-116). >1 = negatives drawn as aligned groups of
-    # `sample_block` consecutive class rows: every negative keeps a uniform
-    # marginal inclusion probability and positives force their whole group
-    # in; sampled rows become (block, D) tiles, which the Pallas grouped
-    # gather / in-place update kernels move at ~7.5x XLA's sampled-row
-    # lowering at WebFace42M scale (ROUND3_NOTES.md probes).
+    # `sample_block` consecutive class rows; sampled rows become (block, D)
+    # tiles, which the Pallas grouped gather / in-place update kernels move
+    # at ~7.5x XLA's sampled-row lowering at WebFace42M scale
+    # (ROUND3_NOTES.md probes). Two documented divergences from the
+    # reference's per-row draw (see sample_groups).
     sample_block: int = 1
 
     @property
     def num_classes_padded(self) -> int:
+        """NOTE: scales with sample_block, so the head weight/slot shapes
+        differ between sample_block settings — a checkpoint trained with one
+        sample_block cannot be restored under another unless only the padding
+        tail differs (restore surfaces the shape mismatch; re-export via
+        utils/torch_export or npz, which strip padding, to migrate)."""
         m = self.model_size * max(1, self.sample_block)
         return ((self.num_classes + m - 1) // m) * m
 
@@ -159,11 +164,15 @@ def sample_groups(cfg: PFCConfig, key: jax.Array, gpos: jnp.ndarray,
     axis (at C=2M the row-granular masks alone cost ~4 ms/step, XPlane
     trace ROUND3_NOTES.md). Positives force their group in; a group is
     drawable if it contains any real (non-padding) class; partially-padded
-    tail groups stay maskable per column via col_valid. The per-negative
-    marginal inclusion probability stays uniform (group scores are iid);
-    the divergence from the reference's per-row draw is only the
-    within-group correlation of negatives — documented TPU-native layout
-    (fr_tpu/ops/sparse_rows.py)."""
+    tail groups stay maskable per column via col_valid. Two divergences
+    from the reference's per-row draw (documented TPU-native layout,
+    fr_tpu/ops/sparse_rows.py): (1) negatives sharing a group are included
+    together (within-group correlation); (2) negatives co-located with an
+    in-batch positive are forced in with probability 1 (bounded by
+    batch_size*(block-1) such rows per step; negatives in positive-free
+    groups keep a uniform marginal). Training-quality parity under both is
+    pinned by tests/test_sparse_rows.py::
+    test_block_sampling_matches_per_row_verification_accuracy."""
     ng_total = cfg.num_local // cfg.sample_block
     perm = jax.random.uniform(key, (ng_total,))
     perm = jnp.where(gpos, 2.0, perm)
