@@ -114,8 +114,15 @@ def compress_chunk(data: bytes, typesize: int, cname: str = "blosclz",
 
 
 def _parse_dtype(spec) -> np.dtype:
-    """bcolz stores str(self.dtype): plain ("float32") or a compound atom
-    ("('float32', (3, 112, 112))") for multidimensional rows."""
+    """Parse the `meta/storage` dtype field across bcolz's variants.
+
+    bcolz 1.x `write_meta` stores `repr(self.dtype)[6:-1]` — i.e. the text
+    inside `dtype(...)`, WITH python-repr quoting: a plain base dtype
+    serialises as `"'float32'"` (quotes embedded in the JSON string) and a
+    compound atom as `"('<f4', (3, 112, 112))"`. Older/hand-written
+    rootdirs use the bare `str(dtype)` form (`"float32"`). All three parse
+    here: bare names via np.dtype, repr-quoted strings and atom tuples via
+    ast.literal_eval."""
     s = str(spec)
     try:
         return np.dtype(s)
@@ -146,8 +153,18 @@ def read_carray(rootdir: str) -> np.ndarray:
 
     chunk_files = sorted(
         (p for p in data.iterdir()
-         if p.name.startswith("__") and p.suffix == ".blp"),
+         if p.name.startswith("__") and p.suffix == ".blp"
+         and p.stem[2:].isdigit()),
         key=lambda p: int(p.stem[2:]))
+    # bcolz names chunks data/__0.blp .. data/__{n-1}.blp contiguously
+    # (carray_ext chunks._chunk_file_name); a gap means a damaged or
+    # unknown layout — concatenating across it would silently misalign
+    # every row after the hole, so fail loudly instead.
+    indices = [int(p.stem[2:]) for p in chunk_files]
+    if indices != list(range(len(indices))):
+        raise ValueError(
+            f"bcolz rootdir {rootdir}: non-contiguous chunk files "
+            f"{[p.name for p in chunk_files]} — unknown layout variant")
     out = np.empty(nbytes, np.uint8)
     off = 0
     for f in chunk_files:
