@@ -123,6 +123,10 @@ class WindowAttention(nn.Module):
     # kernel block budget in window tokens (scoped-VMEM pressure knob;
     # see ops/fused_window_attn._pick_block)
     block_rows: int = 1024
+    # packed-lane kernel (all heads' scores share the lane dim — measured
+    # faster than the per-head variant on every AlterNet50 stage shape,
+    # ROUND4_NOTES.md); False = the per-head round-2 kernel
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray] = None):
@@ -190,25 +194,15 @@ class WindowAttention(nn.Module):
         elif spatial:
             # config not in SPATIAL_KERNEL_CONFIGS — window outside,
             # windows-API kernel inside
-            from fr_tpu.ops.fused_window_attn import fused_window_attention
             ws = self.window[0]
             Hs, Ws = qkv.shape[1], qkv.shape[2]
             nW = (Hs // ws) * (Ws // ws)
             qkv_w = window_partition(qkv, ws)
-            out_w = fused_window_attention(
-                qkv_w, scale.reshape(self.num_heads), bias16,
-                self.num_heads, nW,
-                jnp.asarray(mask) if mask is not None else None,
-                self.block_rows)
+            out_w = self._fused_call(qkv_w, scale, bias16, nW, mask)
             out = window_reverse(out_w, ws, Hs, Ws)
         elif self.fused:
-            from fr_tpu.ops.fused_window_attn import fused_window_attention
             nW = mask.shape[0] if mask is not None else 1
-            out = fused_window_attention(
-                qkv, scale.reshape(self.num_heads), bias16,
-                self.num_heads, nW,
-                jnp.asarray(mask) if mask is not None else None,
-                self.block_rows)
+            out = self._fused_call(qkv, scale, bias16, nW, mask)
         else:
             # Lane-aligned slices instead of a (3, heads) axis shuffle (the
             # 5-D transpose form materialises relayout copies per tensor
@@ -237,6 +231,24 @@ class WindowAttention(nn.Module):
                        dtype=self.dtype, param_dtype=jnp.float32,
                        precision=prec, name="proj")(out.astype(self.dtype))
         return out
+
+    def _fused_call(self, qkv_w, scale, bias16, nW, mask):
+        """Dispatch to the packed-lane or per-head fused kernel. The packed
+        kernel emits compute-dtype (bf16) pre-proj activations — the proj
+        GEMM consumes that dtype anyway, halving the output + cotangent HBM
+        traffic (VERDICT r3 next #2)."""
+        m = jnp.asarray(mask) if mask is not None else None
+        if self.packed:
+            from fr_tpu.ops.fused_window_attn import (
+                fused_window_attention_packed)
+            return fused_window_attention_packed(
+                qkv_w, scale.reshape(self.num_heads), bias16,
+                self.num_heads, nW, m, self.block_rows,
+                False, self.dtype)
+        from fr_tpu.ops.fused_window_attn import fused_window_attention
+        return fused_window_attention(
+            qkv_w, scale.reshape(self.num_heads), bias16,
+            self.num_heads, nW, m, self.block_rows)
 
 
 def make_window_attention(dim, window, heads, dtype, remat: bool = True,

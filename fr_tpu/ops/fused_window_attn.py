@@ -556,6 +556,365 @@ def _sp_bwd_rule(num_heads, ws, residuals, g):
 fused_window_attention_spatial.defvjp(_sp_fwd_rule, _sp_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# Packed-lane variant (v2): all heads' scores in one (W, N, heads·N) tensor.
+# ---------------------------------------------------------------------------
+#
+# The per-head variant above pays lane padding on every f32 score-tensor VPU
+# op: per head the (W, N, N) arrays pad N=36→128 lanes (3.6×) or N=9→128
+# (14×), and the round-3 decomposition showed the recompute-backward running
+# ~9× over its HBM floor — the padded VPU work, not HBM, is the bottleneck
+# (VERDICT r3 next #1, "head-packed lane layout"). Here every score-shaped
+# tensor is (W, N, heads·N) — lanes hj = h·N + j — so padding drops to
+# 144→256 (1.8×), 288→384 (1.3×), 144→256 (1.8×) on the three AlterNet50
+# stage shapes. Per-head semantics (segmented softmax, per-head l2 norm)
+# are expressed with tiny compile-time 0/1 matrices on the MXU:
+#
+#   blockC (C, C)        sumsq over each head's hd channels, expanded to C
+#   hm     (hN, C)       head-block indicator masking the k/v repeats
+#   segsum (hN, heads)   per-(row, head) segment sums of score-shaped data
+#   segexp (heads, hN)   expand per-head values back to packed lanes
+#   segC   (heads, C)    expand per-head values to channel lanes
+#
+# k and v are repeated head-times along tokens and masked by hm, so ONE
+# batched dot computes all heads' scores / outputs: qn (W,N,C) · krep
+# (W,hN,C) → (W,N,hN) and e (W,N,hN) · vrep (W,hN,C) → (W,N,C), the output
+# already in concat layout. The softmax max-shift uses the max over the
+# whole packed row — any shift ≥ the per-segment max is exact, so no
+# segmented max is needed. Numerics otherwise match the per-head variant
+# (f32 softmax, compute-dtype MXU operands, eps-guarded norm).
+
+
+@functools.lru_cache(maxsize=None)
+def _pk_constants(num_heads: int, N: int, C: int):
+    import numpy as np
+    hN = num_heads * N
+    hd = C // num_heads
+    hm = np.zeros((hN, C), np.float32)
+    blockC = np.zeros((C, C), np.float32)
+    segsum = np.zeros((hN, num_heads), np.float32)
+    segexp = np.zeros((num_heads, hN), np.float32)
+    segC = np.zeros((num_heads, C), np.float32)
+    for h in range(num_heads):
+        hm[h * N:(h + 1) * N, h * hd:(h + 1) * hd] = 1.0
+        blockC[h * hd:(h + 1) * hd, h * hd:(h + 1) * hd] = 1.0
+        segsum[h * N:(h + 1) * N, h] = 1.0
+        segexp[h, h * N:(h + 1) * N] = 1.0
+        segC[h, h * hd:(h + 1) * hd] = 1.0
+    return hm, blockC, segsum, segexp, segC
+
+
+def _nobatch(lhs, rhs):
+    """lhs (..., K) · rhs (K, N) → (..., N), f32 accumulate."""
+    return lax.dot_general(lhs, rhs, (((lhs.ndim - 1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+def _pk_pick_block(n_windows: int, n_tokens: int, n_win_per_img: int,
+                   C: int, num_heads: int, target_rows: int) -> int:
+    """Windows per program for the packed kernel. Same shape rules as
+    _pick_block (multiple of nW, divides the total) plus a scoped-VMEM cap:
+    the dominant per-window buffers are the head-repeated k/v (hN, C)
+    compute-dtype pair and the f32 (hN, C) fold inputs in the backward —
+    together ≈ hN·C·8 bytes/window (matches the measured 35.6 MB stack at
+    s4 wb=64 that OOM'd Mosaic's 16 MB limit). Cap the block so that
+    estimate stays ≤ 10 MB, leaving headroom for the score tensors."""
+    hN = num_heads * n_tokens
+    per_win = hN * C * 8
+    cap = max(1, (10 * 1024 * 1024) // (per_win * n_win_per_img))
+    target = max(1, target_rows // max(1, n_win_per_img * n_tokens))
+    target = min(target, cap)
+    g = 1
+    n_imgs = n_windows // n_win_per_img
+    while g * 2 <= target and n_imgs % (g * 2) == 0:
+        g *= 2
+    return g * n_win_per_img
+
+
+def _pk_norm(x):
+    """Returns (x_normalised f32, r, active) with per-head l2 over channel
+    blocks, all (W, N, C) — blockC expands the segment sums to full lanes."""
+    return x  # placeholder, real work inline (kept for readability)
+
+
+def _pk_recompute(qkv, scalep, biasp, mask, hm_c, blockC, segsum,
+                  num_heads, compute):
+    """Shared fwd math on one block: returns (qn32, rq, aq, kn32, rk, ak,
+    qn, kn, krep, vrep, s_cos, s, e, denom). s_cos is pre-scale cosine."""
+    W, N, C3 = qkv.shape
+    C = C3 // 3
+    q = qkv[:, :, :C].astype(jnp.float32)
+    k = qkv[:, :, C:2 * C].astype(jnp.float32)
+    v = qkv[:, :, 2 * C:]
+    ssq_q = _nobatch(q * q, blockC)
+    ssq_k = _nobatch(k * k, blockC)
+    rq = lax.rsqrt(jnp.maximum(ssq_q, EPS * EPS))
+    rk = lax.rsqrt(jnp.maximum(ssq_k, EPS * EPS))
+    aq = ssq_q > EPS * EPS
+    ak = ssq_k > EPS * EPS
+    qn32 = q * rq
+    kn32 = k * rk
+    qn = qn32.astype(compute)
+    kn = kn32.astype(compute)
+    krep = jnp.concatenate([kn] * num_heads, axis=1) * hm_c
+    vrep = jnp.concatenate([v] * num_heads, axis=1) * hm_c
+    s_cos = lax.dot_general(qn, krep, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    s = s_cos * scalep[None, None, :] + biasp[None]
+    if mask is not None:
+        nW = mask.shape[0]
+        s = (s.reshape(W // nW, nW, N, num_heads * N) + mask[None]
+             ).reshape(W, N, num_heads * N)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = _nobatch(e, segsum)                       # (W, N, heads)
+    return (qn32, rq, aq, kn32, rk, ak, qn, kn, krep, vrep, s_cos, e, denom)
+
+
+def _pk_fwd_body(qkv_ref, scalep_ref, biasp_ref, mask_ref, hm_ref,
+                 blockC_ref, segsum_ref, segC_ref, out_ref,
+                 num_heads, compute):
+    qkv = qkv_ref[:]
+    mask = mask_ref[:] if mask_ref is not None else None
+    (_, _, _, _, _, _, _, _, _, vrep, _, e, denom) = _pk_recompute(
+        qkv, scalep_ref[0], biasp_ref[:], mask, hm_ref[:].astype(compute),
+        blockC_ref[:], segsum_ref[:], num_heads, compute)
+    out = lax.dot_general(e.astype(compute), vrep,
+                          (((2,), (1,)), ((0,), (0,))),
+                          preferred_element_type=jnp.float32)
+    invC = _nobatch(1.0 / denom, segC_ref[:])         # (W, N, C)
+    out_ref[:] = (out * invC).astype(out_ref.dtype)
+
+
+def _fold_heads(x_full, hm, num_heads, N):
+    """(W, hN, C) masked-by-head → (W, N, C): mask cross-head channels then
+    sum the per-head row blocks."""
+    xm = x_full * hm[None]
+    acc = xm[:, 0:N, :]
+    for h in range(1, num_heads):
+        acc = acc + xm[:, h * N:(h + 1) * N, :]
+    return acc
+
+
+def _pk_bwd_body(qkv_ref, scalep_ref, biasp_ref, mask_ref, hm_ref,
+                 blockC_ref, segsum_ref, segexp_ref, g_ref,
+                 dqkv_ref, dscalep_ref, dbiasp_ref, num_heads, compute):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dscalep_ref[:] = jnp.zeros_like(dscalep_ref)
+        dbiasp_ref[:] = jnp.zeros_like(dbiasp_ref)
+
+    qkv = qkv_ref[:]
+    W, N, C3 = qkv.shape
+    C = C3 // 3
+    mask = mask_ref[:] if mask_ref is not None else None
+    hm = hm_ref[:]
+    scalep = scalep_ref[0]
+    (qn32, rq, aq, kn32, rk, ak, qn, _, krep, vrep, s_cos, e, denom) = \
+        _pk_recompute(qkv, scalep, biasp_ref[:], mask, hm.astype(compute),
+                      blockC_ref[:], segsum_ref[:], num_heads, compute)
+    invexp = _nobatch(1.0 / denom, segexp_ref[:])     # (W, N, hN)
+    p = e * invexp
+    g = g_ref[:]
+    gc = g.astype(compute)
+    dp = lax.dot_general(gc, vrep, (((2,), (2,)), ((0,), (0,))),
+                         preferred_element_type=jnp.float32)
+    pc = p.astype(compute)
+    dvfull = lax.dot_general(pc, gc, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dv = _fold_heads(dvfull, hm, num_heads, N)
+    # softmax VJP, segmented per (row, head)
+    rowsum = _nobatch(p * dp, segsum_ref[:])          # (W, N, heads)
+    rowexp = _nobatch(rowsum, segexp_ref[:])          # (W, N, hN)
+    ds = p * (dp - rowexp)
+    dbiasp_ref[:] += jnp.sum(ds, axis=0)
+    dscalep_ref[:] += jnp.sum(jnp.sum(ds * s_cos, axis=0), axis=0,
+                              keepdims=True)
+    dsc = (ds * scalep[None, None, :]).astype(compute)
+    dqn = lax.dot_general(dsc, krep, (((2,), (1,)), ((0,), (0,))),
+                          preferred_element_type=jnp.float32)
+    dknfull = lax.dot_general(dsc, qn, (((1,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    dkn = _fold_heads(dknfull, hm, num_heads, N)
+    # l2-norm VJP, per-head segments expanded via blockC
+    rd_q = _nobatch(dqn * qn32, blockC_ref[:])
+    rd_k = _nobatch(dkn * kn32, blockC_ref[:])
+    dq = rq * (dqn - jnp.where(aq, qn32 * rd_q, 0.0))
+    dk = rk * (dkn - jnp.where(ak, kn32 * rd_k, 0.0))
+    dt = dqkv_ref.dtype
+    dqkv_ref[:, :, :C] = dq.astype(dt)
+    dqkv_ref[:, :, C:2 * C] = dk.astype(dt)
+    dqkv_ref[:, :, 2 * C:] = dv.astype(dt)
+
+
+def _pk_pack_params(scale, bias16, mask, num_heads, N):
+    """(heads,), (heads,N,N), (nW,N,N) → packed (1,hN), (N,hN), (nW,N,hN)."""
+    hN = num_heads * N
+    scalep = jnp.repeat(scale, N).reshape(1, hN)
+    biasp = bias16.transpose(1, 0, 2).reshape(N, hN)
+    maskp = None if mask is None else jnp.tile(mask, (1, 1, num_heads))
+    return scalep, biasp, maskp
+
+
+def _pk_specs(wb, N, C3, num_heads, has_mask, nW):
+    C = C3 // 3
+    hN = num_heads * N
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    specs = [
+        pl.BlockSpec((wb, N, C3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const((1, hN)),          # scalep
+        const((N, hN)),          # biasp
+    ]
+    if has_mask:
+        specs.append(const((nW, N, hN)))
+    specs += [const((hN, C)), const((C, C)), const((hN, num_heads))]
+    return specs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6, 7, 8))
+def fused_window_attention_packed(qkv: jnp.ndarray, scale: jnp.ndarray,
+                                  bias16: jnp.ndarray, num_heads: int,
+                                  n_win_per_img: int,
+                                  mask: Optional[jnp.ndarray] = None,
+                                  block_rows: int = 1024,
+                                  interpret: bool = False,
+                                  out_dtype=None) -> jnp.ndarray:
+    """Same contract as fused_window_attention (qkv (B_, N, 3C)
+    compute-dtype → (B_, N, C)); packed-lane layout inside.
+    interpret=True runs the packed Pallas program in the interpreter —
+    off-TPU tests exercise the real packing/segment/unpack math instead of
+    the jnp twin (tests/test_fused_window_attn.py).
+    out_dtype (default f32) lets the caller take the pre-proj activations
+    in bf16 — the proj GEMM consumes bf16 anyway, so this halves the
+    kernel-output HBM traffic AND the incoming cotangent traffic in the
+    backward (VERDICT r3 next #2); softmax and accumulation stay f32."""
+    return _pk_fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
+                   block_rows, interpret, out_dtype)
+
+
+def _pk_fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask, block_rows,
+            interpret=False, out_dtype=None):
+    B_, N, C3 = qkv.shape
+    C = C3 // 3
+    compute = qkv.dtype
+    out_dtype = out_dtype or jnp.float32
+    if _interpret() and not interpret:
+        return _heads_fwd(qkv, scale, bias16, mask, num_heads,
+                          compute).astype(out_dtype)
+    has_mask = mask is not None
+    hm, blockC, segsum, _, segC = (jnp.asarray(a) for a in
+                                   _pk_constants(num_heads, N, C))
+    scalep, biasp, maskp = _pk_pack_params(scale, bias16, mask, num_heads, N)
+    wb = _pk_pick_block(B_, N, n_win_per_img, C, num_heads,
+                        target_rows=block_rows)
+    grid = (B_ // wb,)
+    args = [qkv, scalep, biasp] + ([maskp] if has_mask else []) + \
+        [hm, blockC, segsum, segC]
+    args = _align_vma(*args)
+    vma = _vma_union(*args)
+    if has_mask:
+        def kernel(q, sc, b, m, *rest):
+            _pk_fwd_body(q, sc, b, m, *rest, num_heads, compute)
+    else:
+        def kernel(q, sc, b, *rest):
+            _pk_fwd_body(q, sc, b, None, *rest, num_heads, compute)
+    in_specs = _pk_specs(wb, N, C3, num_heads, has_mask,
+                         n_win_per_img)
+    in_specs.append(pl.BlockSpec((num_heads, C), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))     # segC
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_, N, C), out_dtype, vma=vma),
+        interpret=interpret,
+    )(*args)
+
+
+def _pk_fwd_rule(qkv, scale, bias16, num_heads, n_win_per_img, mask,
+                 block_rows, interpret, out_dtype):
+    out = _pk_fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
+                  block_rows, interpret, out_dtype)
+    return out, (qkv, scale, bias16, mask)
+
+
+def _pk_bwd_rule(num_heads, n_win_per_img, block_rows, interpret, out_dtype,
+                 residuals, g):
+    qkv, scale, bias16, mask = residuals
+    B_, N, C3 = qkv.shape
+    C = C3 // 3
+    hN = num_heads * N
+    compute = qkv.dtype
+    has_mask = mask is not None
+
+    if _interpret() and not interpret:
+        dqkv, dscale, dbias = _bwd_jnp(qkv, scale, bias16, mask,
+                                       g.astype(jnp.float32), num_heads)
+        dscale = _match_cotangent_vma(dscale, scale)
+        dbias = _match_cotangent_vma(dbias, bias16)
+        return (dqkv, dscale, dbias,
+                jnp.zeros_like(mask) if has_mask else None)
+
+    hm, blockC, segsum, segexp, _ = (jnp.asarray(a) for a in
+                                     _pk_constants(num_heads, N, C))
+    scalep, biasp, maskp = _pk_pack_params(scale, bias16, mask, num_heads, N)
+    wb = _pk_pick_block(B_, N, n_win_per_img, C, num_heads,
+                        target_rows=block_rows)
+    grid = (B_ // wb,)
+    g = g if g.dtype == compute else g.astype(jnp.float32)
+    args = [qkv, scalep, biasp] + ([maskp] if has_mask else []) + \
+        [hm, blockC, segsum, segexp, g]
+    args = _align_vma(*args)
+    vma = _vma_union(*args)
+    if has_mask:
+        def kernel(q, sc, b, m, *rest):
+            _pk_bwd_body(q, sc, b, m, *rest, num_heads, compute)
+    else:
+        def kernel(q, sc, b, *rest):
+            _pk_bwd_body(q, sc, b, None, *rest, num_heads, compute)
+    in_specs = _pk_specs(wb, N, C3, num_heads, has_mask, n_win_per_img)
+    in_specs.append(pl.BlockSpec((num_heads, hN), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))     # segexp
+    in_specs.append(pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))     # g
+    dqkv, dscalep, dbiasp = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((wb, N, C3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hN), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, hN), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B_, N, C3), compute, vma=vma),
+            jax.ShapeDtypeStruct((1, hN), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((N, hN), jnp.float32, vma=vma),
+        ],
+        interpret=interpret,
+    )(*args)
+
+    # unpack: lanes hj = h·N + j
+    dscale = jnp.sum(dscalep.reshape(num_heads, N), axis=1)
+    dbias = dbiasp.reshape(N, num_heads, N).transpose(1, 0, 2)
+    dscale = _match_cotangent_vma(dscale, scale)
+    dbias = _match_cotangent_vma(dbias, bias16)
+    dmask = jnp.zeros_like(mask) if has_mask else None
+    return (dqkv, dscale, dbias, dmask)
+
+
+fused_window_attention_packed.defvjp(_pk_fwd_rule, _pk_bwd_rule)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6))
 def fused_window_attention(qkv: jnp.ndarray, scale: jnp.ndarray,
                            bias16: jnp.ndarray,

@@ -13,9 +13,10 @@ Stage shapes (AlterNet50, b=128, windows 6/6/3):
   s3: W= 512, N=36, C=256, heads=8,  nW=4
   s4: W= 512, N= 9, C=512, heads=16, nW=4
 
-python scripts/attn_kernel_probe.py [s2 s3 s4] [--masked]
+python scripts/attn_kernel_probe.py [s2 s3 s4] [--masked] [--parity] [--no-timing]
 """
 
+import functools
 import os
 import sys
 import time
@@ -36,14 +37,41 @@ from fr_tpu.ops import fused_window_attn as fwa  # noqa: E402
 HBM_GBPS = 800.0  # v5e ~819 GB/s
 
 
-def bench(fn, args, iters=50):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+def bench(fn, args, iters=24):
+    """Per-call ms via an in-jit lax.scan, differenced between 2N and N
+    iterations so compile/dispatch cost cancels, with a VALUE FETCH to
+    synchronise (axon's block_until_ready returns early — verify skill
+    gotcha; the round-3 run of this probe produced physically impossible
+    numbers like fwd at 0.2x the HBM floor because of it).
+
+    The scan body threads a data dependency through bias16 (adding a
+    carried f32 that stays exactly 0.0) so XLA cannot hoist the op out of
+    the loop; numerics are bit-identical to a direct call."""
+
+    def scan_n(n):
+        @jax.jit
+        def run(qkv, scale, bias16):
+            def body(c, _):
+                out = fn(qkv, scale, bias16 + c)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                c2 = c + 1e-30 * leaf.ravel()[0].astype(jnp.float32)
+                return c2, ()
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return c
+        return run
+
+    f1, f2 = scan_n(iters), scan_n(2 * iters)
+    float(f1(*args))
+    float(f2(*args))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f1(*args))
+        t1 = time.perf_counter()
+        float(f2(*args))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / iters * 1e3)
+    return best
 
 
 def floors(W, N, C, g_bytes=4, out_bytes=4):
@@ -64,7 +92,16 @@ SHAPES = {
 }
 
 
-def run_shape(name, masked):
+def _call_v1(q, sc, b, m, heads, nW, block_rows):
+    return fwa.fused_window_attention(q, sc, b, heads, nW, m, block_rows)
+
+
+def _call_v2(q, sc, b, m, heads, nW, block_rows):
+    return fwa.fused_window_attention_packed(q, sc, b, heads, nW, m,
+                                             block_rows)
+
+
+def run_shape(name, masked, parity=False, timing=True):
     s = SHAPES[name]
     W, N, C, heads, nW = s["W"], s["N"], s["C"], s["heads"], s["nW"]
     ws = int(np.sqrt(N))
@@ -80,35 +117,75 @@ def run_shape(name, masked):
     ffwd, fbwd = floors(W, N, C)
     tag = f"{name}{'+mask' if masked else ''}"
 
-    variants = {
-        "v1 (current)": lambda q, sc, b, m: fwa.fused_window_attention(
-            q, sc, b, heads, nW, m, 1024),
-    }
-    if hasattr(fwa, "fused_window_attention_packed"):
-        variants["v2 (packed)"] = lambda q, sc, b, m: \
-            fwa.fused_window_attention_packed(q, sc, b, heads, nW, m, 1024)
+    blocks = [int(b) for b in os.environ.get(
+        "ATTN_PROBE_BLOCKS", "1024").split(",")]
+    variants = {}
+    for br in blocks:
+        if not os.environ.get("ATTN_PROBE_ONLY_V2"):
+            variants[f"v1 br={br}"] = functools.partial(
+                _call_v1, heads=heads, nW=nW, block_rows=br)
+        if hasattr(fwa, "fused_window_attention_packed"):
+            variants[f"v2 br={br}"] = functools.partial(
+                _call_v2, heads=heads, nW=nW, block_rows=br)
+
+    # parity vs the jnp oracle — errors reduced ON DEVICE (axon D2H of
+    # >4 MB arrays can hang; verify-skill gotcha)
+    def _oracle(q, sc, b):
+        return fwa._heads_fwd(q, sc, b, mask, heads, q.dtype)
+
+    def _gradof(fn):
+        def gr(q, sc, b):
+            return jax.grad(lambda *a: jnp.sum(fn(*a) * g),
+                            argnums=(0, 1, 2))(q, sc, b)
+        return gr
+
+    def _relerr(fn_test, fn_ref):
+        @jax.jit
+        def err(q, sc, b):
+            a = jax.tree_util.tree_leaves(fn_test(q, sc, b))
+            r = jax.tree_util.tree_leaves(fn_ref(q, sc, b))
+            return jnp.max(jnp.stack([
+                jnp.max(jnp.abs(x.astype(jnp.float32) - y.astype(jnp.float32)))
+                / (jnp.max(jnp.abs(y.astype(jnp.float32))) + 1e-9)
+                for x, y in zip(a, r)]))
+        return float(err(qkv, scale, bias16))
 
     for vname, f in variants.items():
-        fwd = jax.jit(lambda q, sc, b: f(q, sc, b, mask))
+        def _f3(q, sc, b, f=f):
+            return f(q, sc, b, mask)
+        pstr = ""
+        if parity:
+            err = _relerr(_f3, _oracle)
+            gerr = _relerr(_gradof(_f3), _gradof(_oracle))
+            pstr = f"relerr fwd {err:.2e} grad {gerr:.2e}"
+        if not timing:
+            print(f"{tag:8s} {vname:14s} {pstr}", flush=True)
+            continue
+
+        def fwd(q, sc, b, f=f):
+            return f(q, sc, b, mask)
         t_f = bench(fwd, (qkv, scale, bias16))
 
-        def loss(q, sc, b):
-            return jnp.sum(f(q, sc, b, mask) * g)
-        gr = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        def gr(q, sc, b, f=f):
+            def loss(q, sc, b):
+                return jnp.sum(f(q, sc, b, mask) * g)
+            return jax.grad(loss, argnums=(0, 1, 2))(q, sc, b)
         t_b = bench(gr, (qkv, scale, bias16))
         print(f"{tag:8s} {vname:14s} fwd {t_f:7.3f} ms ({t_f/ffwd:5.1f}x floor)"
-              f"   fwd+bwd {t_b:7.3f} ms ({t_b/(ffwd+fbwd):5.1f}x floor)",
-              flush=True)
+              f"   fwd+bwd {t_b:7.3f} ms ({t_b/(ffwd+fbwd):5.1f}x floor)"
+              f"   {pstr}", flush=True)
 
 
 def main():
     names = [a for a in sys.argv[1:] if a in SHAPES] or list(SHAPES)
     masked = "--masked" in sys.argv
+    parity = "--parity" in sys.argv
+    timing = "--no-timing" not in sys.argv
     print(f"backend={jax.default_backend()} devices={jax.devices()}")
     for n in names:
-        run_shape(n, False)
+        run_shape(n, False, parity, timing)
         if masked:
-            run_shape(n, True)
+            run_shape(n, True, parity, timing)
 
 
 if __name__ == "__main__":

@@ -90,6 +90,40 @@ def main() -> int:
         print(f"fused window-attn parity ok (C={C} h={h} shift={shift}: "
               f"out {o_err:.1e}, grad {g_err:.1e}/{g_mag:.1e})")
 
+    # 1b'. packed-lane window-attention kernel (the production default,
+    # WindowAttention packed=True) — real Mosaic lowering, fwd + grads,
+    # bf16 out_dtype exactly as the model calls it (VERDICT r4 #1/#2)
+    from fr_tpu.ops.fused_window_attn import fused_window_attention_packed
+
+    for (imgs, hw, ws, shift, C, h, dt, tol) in [
+            (8, 24, 6, 3, 128, 4, jnp.bfloat16, 3e-2),
+            (8, 12, 6, 0, 256, 8, jnp.bfloat16, 3e-2),
+            (8, 6, 3, 0, 512, 16, jnp.bfloat16, 3e-2)]:
+        nW = (hw // ws) ** 2
+        B_, N = imgs * nW, ws * ws
+        qkv = jnp.asarray(rng.standard_normal((B_, N, 3 * C)), dt)
+        scale = jnp.asarray(np.abs(rng.standard_normal(h)) + 1, jnp.float32)
+        bias16 = jnp.asarray(rng.standard_normal((h, N, N)), jnp.float32)
+        mask = (jnp.asarray(shifted_window_mask(hw, hw, ws, shift))
+                if shift else None)
+
+        fk = jax.jit(jax.value_and_grad(
+            lambda q: fused_window_attention_packed(
+                q, scale, bias16, h, nW, mask, 1024, False, dt)
+            .astype(jnp.float32).sum()))
+        fr = jax.jit(jax.value_and_grad(
+            lambda q: _heads_fwd(q, scale, bias16, mask, h, dt).sum()))
+        ok, gk = fk(qkv)
+        orf, gr = fr(qkv)
+        o_err = abs(float(ok) - float(orf)) / max(abs(float(orf)), 1.0)
+        g_err = float(jnp.max(jnp.abs(
+            gk.astype(jnp.float32) - gr.astype(jnp.float32))))
+        g_mag = float(jnp.max(jnp.abs(gr.astype(jnp.float32))))
+        assert o_err < tol and g_err < tol * max(g_mag, 1.0), \
+            (o_err, g_err, g_mag)
+        print(f"packed window-attn parity ok (C={C} h={h} shift={shift}: "
+              f"out {o_err:.1e}, grad {g_err:.1e}/{g_mag:.1e})")
+
     # 1c. spatial fused kernel (windowing inside the kernel) vs the
     # partition → windows-math → reverse composition — real lowering
     from fr_tpu.models.swin_common import window_partition, window_reverse

@@ -76,6 +76,40 @@ def test_fused_matches_unfused(B_, N, C, h, nW, masked, dt, tol):
             atol=tol * max(mag, 1.0))
 
 
+@pytest.mark.parametrize("B_,N,C,h,nW,masked,dt,tol", CASES)
+def test_packed_interpret_matches_unfused(B_, N, C, h, nW, masked, dt, tol):
+    """The packed-lane kernel's REAL program (repeat/mask/segment matrices,
+    global-max softmax, head fold, dscale/dbias unpack) under the Pallas
+    interpreter vs the unfused oracle — off-TPU this is the only coverage
+    of the packed math itself (the jnp twin never packs)."""
+    from fr_tpu.ops.fused_window_attn import fused_window_attention_packed
+
+    rng = np.random.default_rng(4)
+    qkv = jnp.asarray(rng.standard_normal((B_, N, 3 * C)), dt)
+    scale = jnp.asarray(np.abs(rng.standard_normal(h)) + 1.0, jnp.float32)
+    bias16 = jnp.asarray(rng.standard_normal((h, N, N)), jnp.float32)
+    mask = (jnp.asarray(np.where(rng.random((nW, N, N)) > 0.8, -100.0, 0.0),
+                        jnp.float32) if masked else None)
+
+    out_f = fused_window_attention_packed(qkv, scale, bias16, h, nW, mask,
+                                          1024, True)
+    out_r = _ref_attn(qkv, scale, bias16, mask, h)
+    ref_mag = float(jnp.abs(out_r).max())
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               atol=tol * max(ref_mag, 1.0))
+
+    f = lambda *a: fused_window_attention_packed(  # noqa: E731
+        a[0], a[1], a[2], h, nW, mask, 1024, True).sum()
+    r = lambda *a: _ref_attn(a[0], a[1], a[2], mask, h).sum()  # noqa: E731
+    gf = jax.grad(f, argnums=(0, 1, 2))(qkv, scale, bias16)
+    gr = jax.grad(r, argnums=(0, 1, 2))(qkv, scale, bias16)
+    for a, b in zip(gf, gr):
+        mag = float(jnp.abs(b.astype(jnp.float32)).max())
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=tol * max(mag, 1.0))
+
+
 @pytest.mark.parametrize("shift", [0, 3])
 def test_spatial_matches_windowed(shift):
     """fused_window_attention_spatial == window_partition → windows math →
