@@ -243,7 +243,16 @@ def run_workload():
     achievable_s = None
     try:
         from fr_tpu.utils.flops import achievable_mxu_seconds, count_flops
-        fwd_fn = lambda p, b, im: encoder.apply(  # noqa: E731
+        # Accounting trace uses the UNFUSED (jnp) attention path: the flops
+        # walker descends into pallas_call bodies, and the packed kernel
+        # deliberately spends extra MACs on lane packing (head-repeated k/v,
+        # segment matrices) — implementation overhead that must not deflate
+        # the intrinsic-work floor the measurement is judged against.
+        # Param trees are identical between fused and unfused
+        # (tests/test_fused_window_attn.py::test_module_fused_vs_unfused).
+        acct_conf = type(conf)(**{**dict(conf), "fused_attn": False})
+        acct_enc = build_encoder(acct_conf)
+        fwd_fn = lambda p, b, im: acct_enc.apply(  # noqa: E731
             {"params": p, "batch_stats": b}, im, train=False)
         fwd_args = (state.params, state.batch_stats,
                     jnp.zeros((batch,) + tuple(xs.shape[1:]),
