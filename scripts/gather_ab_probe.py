@@ -36,14 +36,20 @@ HBM_GBPS = 800.0
 
 
 def bench(fn, args, iters=8):
+    """Scan-differenced timing with the carry threaded through gidx — the
+    carry stays exactly 0 but depends on each iteration's output, so XLA
+    cannot hoist the gather out of the loop (it did when the carry only
+    CONSUMED the output: loop-invariant code motion emptied the scan and
+    the probe printed negative times)."""
     def scan_n(n):
         @jax.jit
-        def run(*a):
+        def run(table, gidx):
             def body(c, _):
-                out = fn(*a)
-                c2 = c + 1e-30 * out.ravel()[0].astype(jnp.float32)
+                out = fn(table, gidx + c)
+                c2 = jnp.minimum(
+                    c + jnp.isnan(out[0, 0]).astype(jnp.int32), 1)
                 return c2, ()
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            c, _ = jax.lax.scan(body, jnp.int32(0), None, length=n)
             return c
         return run
     f1, f2 = scan_n(iters), scan_n(2 * iters)
