@@ -110,6 +110,36 @@ def test_packed_interpret_matches_unfused(B_, N, C, h, nW, masked, dt, tol):
             atol=tol * max(mag, 1.0))
 
 
+def test_pk_block_pick_caps_vmem():
+    """The packed block picker must keep the dominant per-window buffers
+    (≈ hN·C·8 bytes: head-repeated k/v + f32 fold inputs) under 10 MB —
+    s4's rows-targeted wb=64 measured a 35.6 MB Mosaic stack OOM."""
+    from fr_tpu.ops.fused_window_attn import _pick_block, _pk_pick_block
+
+    # s4 (W=512, N=9, nW=4, C=512, heads=16): rows target alone says 64
+    assert _pick_block(512, 9, 4, target_rows=1024) == 64
+    wb = _pk_pick_block(512, 9, 4, 512, 16, target_rows=1024)
+    assert wb == 16 and wb % 4 == 0
+    assert wb * 16 * 9 * 512 * 8 <= 10 * 1024 * 1024
+    # s2/s3 stay at the measured-optimal blocks
+    assert _pk_pick_block(2048, 36, 16, 128, 4, 1024) == 16
+    assert _pk_pick_block(512, 36, 4, 256, 8, 1024) == 16
+
+
+def test_pk_constants_structure():
+    from fr_tpu.ops.fused_window_attn import _pk_constants
+
+    heads, N, C = 4, 9, 64
+    hm, blockC, segsum, segexp, segC = _pk_constants(heads, N, C)
+    hd = C // heads
+    assert hm.shape == (heads * N, C) and hm.sum() == heads * N * hd
+    # lane hj = h*N + j sees exactly head h's channels
+    assert hm[2 * N + 1, 2 * hd] == 1.0 and hm[2 * N + 1, hd] == 0.0
+    assert (blockC @ blockC[:, 0] == hd * blockC[:, 0]).all()
+    assert (segsum.sum(0) == N).all() and (segexp.sum(1) == N).all()
+    assert (segC.sum(0) == 1).all()  # channel partition
+
+
 @pytest.mark.parametrize("shift", [0, 3])
 def test_spatial_matches_windowed(shift):
     """fused_window_attention_spatial == window_partition → windows math →
