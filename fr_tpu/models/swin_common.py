@@ -236,9 +236,19 @@ class WindowAttention(nn.Module):
         """Dispatch to the packed-lane or per-head fused kernel. The packed
         kernel emits compute-dtype (bf16) pre-proj activations — the proj
         GEMM consumes that dtype anyway, halving the output + cotangent HBM
-        traffic (VERDICT r3 next #2)."""
+        traffic (VERDICT r3 next #2).
+
+        Measured rule (ROUND4_NOTES.md probe tables): packing all heads
+        into the lane dim wins 1.5–1.9× at the AlterNet window shapes
+        (N=36/9: per-head lane padding is 3.6–14×) but LOSES at the
+        Swin/EffiAlter N=49 shapes (heads·N = 392/784: the head-repeated
+        k/v construction and VMEM-capped tiny blocks outweigh the milder
+        2.6× per-head padding) — sw3 0.87→1.08 ms, sw4 0.19→0.60 ms
+        fwd+bwd. Packed is used when heads·N ≤ 288, the largest measured
+        win."""
+        N = self.window[0] * self.window[1]
         m = jnp.asarray(mask) if mask is not None else None
-        if self.packed:
+        if self.packed and self.num_heads * N <= 288:
             from fr_tpu.ops.fused_window_attn import (
                 fused_window_attention_packed)
             return fused_window_attention_packed(

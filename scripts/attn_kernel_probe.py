@@ -89,6 +89,9 @@ SHAPES = {
     "s2": dict(W=2048, N=36, C=128, heads=4, nW=16, HW=24),
     "s3": dict(W=512, N=36, C=256, heads=8, nW=4, HW=12),
     "s4": dict(W=512, N=9, C=512, heads=16, nW=4, HW=6),
+    # Swin50 b=128 stage shapes (window 7; stem 112→56, strides 1,2,2,2)
+    "sw3": dict(W=512, N=49, C=256, heads=8, nW=4, HW=14),
+    "sw4": dict(W=128, N=49, C=512, heads=16, nW=1, HW=7),
 }
 
 
