@@ -44,6 +44,30 @@ def use_spatial_attention(window: int, dim: int, fused: bool) -> bool:
     return fused and (window, dim) in SPATIAL_KERNEL_CONFIGS
 
 
+# Largest packed lane width at which the packed window-attention kernel
+# measures faster than the per-head kernel: the AlterNet shapes (heads·N =
+# 144/288, 1.5–3.8× wins). At the N=49 shapes it does NOT win — see
+# pick_head_group.
+PACKED_LANE_CAP = 288
+
+
+def pick_head_group(num_heads: int, n_tokens: int) -> int:
+    """Head-group size for fused_window_attention_packed, or 0 for the
+    per-head kernel. Full pack wins at every AlterNet shape (heads·N ≤
+    288). At the Swin/EffiAlter N=49 shapes every packed variant measured
+    a tie or a loss across repeated clean runs (ROUND4_NOTES.md): full
+    pack at sw3 (392 lanes) ~1.08 vs per-head ~0.97 ms f+b (masked 1.12
+    vs 0.92), and at sw4 both the full pack and the hg=8 two-group split
+    land within noise of per-head (~0.54 vs ~0.53) while smaller groups
+    lose outright (the unrolled group loop stacks each group's score
+    tensors in Mosaic's scoped VMEM: sw3 g2/g4 = 2.86/1.53 ms, sw4 g2/g4
+    = 1.44/0.74). So: pack when heads·N ≤ 288, per-head otherwise; the
+    head-grouped machinery stays as a tested, documented negative."""
+    if num_heads * n_tokens <= PACKED_LANE_CAP:
+        return num_heads
+    return 0
+
+
 def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
     """(B, H, W, C) → (B·nW, ws·ws, C) (reference AlterNet_SwinV2_FAN.py:156-168)."""
     B, H, W, C = x.shape
@@ -233,32 +257,30 @@ class WindowAttention(nn.Module):
         return out
 
     def _fused_call(self, qkv_w, scale, bias16, nW, mask):
-        """Dispatch to the packed-lane or per-head fused kernel. The packed
-        kernel emits compute-dtype (bf16) pre-proj activations — the proj
+        """Dispatch to the packed-lane or per-head fused kernel. Both
+        kernels emit compute-dtype (bf16) pre-proj activations — the proj
         GEMM consumes that dtype anyway, halving the output + cotangent HBM
         traffic (VERDICT r3 next #2).
 
         Measured rule (ROUND4_NOTES.md probe tables): packing all heads
-        into the lane dim wins 1.5–1.9× at the AlterNet window shapes
-        (N=36/9: per-head lane padding is 3.6–14×) but LOSES at the
-        Swin/EffiAlter N=49 shapes (heads·N = 392/784: the head-repeated
-        k/v construction and VMEM-capped tiny blocks outweigh the milder
-        2.6× per-head padding) — sw3 0.87→1.08 ms, sw4 0.19→0.60 ms
-        fwd+bwd. Packed is used when heads·N ≤ 288, the largest measured
-        win."""
+        into the lane dim wins 1.5–3.8× at the AlterNet window shapes
+        (N=36/9: per-head lane padding is 3.6–14×) but ties or loses at
+        the Swin/EffiAlter N=49 shapes for every pack/group variant tried
+        — see pick_head_group for the numbers."""
         N = self.window[0] * self.window[1]
         m = jnp.asarray(mask) if mask is not None else None
-        if self.packed and self.num_heads * N <= 288:
+        hg = pick_head_group(self.num_heads, N)
+        if self.packed and hg:
             from fr_tpu.ops.fused_window_attn import (
                 fused_window_attention_packed)
             return fused_window_attention_packed(
                 qkv_w, scale.reshape(self.num_heads), bias16,
                 self.num_heads, nW, m, self.block_rows,
-                False, self.dtype)
+                False, self.dtype, hg)
         from fr_tpu.ops.fused_window_attn import fused_window_attention
         return fused_window_attention(
             qkv_w, scale.reshape(self.num_heads), bias16,
-            self.num_heads, nW, m, self.block_rows)
+            self.num_heads, nW, m, self.block_rows, self.dtype)
 
 
 def make_window_attention(dim, window, heads, dtype, remat: bool = True,

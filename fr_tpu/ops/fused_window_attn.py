@@ -43,6 +43,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 EPS = 1e-12  # l2_normalize guard (models/common.py l2_normalize)
 
+# Mosaic's default scoped-VMEM (stack) limit is 16 MB, and the attention
+# kernels' stack usage at their measured-optimal blocks sits near it at the
+# N=49 shapes — worse, the realized stack depends on how XLA stages the
+# surrounding operands, so the SAME kernel can compile inside a lax.scan
+# bench yet OOM in a direct value_and_grad jit (measured: packed N=49
+# full-pack bwd 16.30 MB, per-head sw4 bwd 22.0 MB in one context, fine in
+# another). v5e has 128 MB of VMEM; raise the per-kernel budget so the
+# measured-optimal blocks always fit with headroom instead of shrinking
+# them below their best-performing sizes.
+_ATTN_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -167,7 +179,7 @@ def _fwd_body(qkv_ref, scale_ref, bias_ref, mask_ref, out_ref,
         p = jax.nn.softmax(s, axis=-1)
         out_ref[:, :, o:o + hd] = lax.dot_general(
             p.astype(compute), vh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _bwd_body(qkv_ref, scale_ref, bias_ref, mask_ref, g_ref,
@@ -209,7 +221,7 @@ def _bwd_body(qkv_ref, scale_ref, bias_ref, mask_ref, g_ref,
         p = jax.nn.softmax(s, axis=-1)
         pc = p.astype(compute)
 
-        g_h = g[:, :, o:o + hd]                      # (W, N, hd) f32
+        g_h = g[:, :, o:o + hd]              # (W, N, hd) f32 or compute
         # out_h = p · v  →  dp = g·vᵀ, dv = pᵀ·g. (A store-each-grad-
         # immediately ordering was tried for scoped-VMEM relief and cost
         # AlterNet50 ~1.4 ms/step — the early store serialises against the
@@ -473,6 +485,7 @@ def _sp_fwd(qkv, scale, bias16, num_heads, ws, mask):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, Wimg, C), jnp.float32,
                                        vma=vma),
+        compiler_params=_ATTN_COMPILER_PARAMS,
     )(*args)
 
 
@@ -545,6 +558,7 @@ def _sp_bwd_rule(num_heads, ws, residuals, g):
             jax.ShapeDtypeStruct((1, num_heads), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((num_heads, N, N), jnp.float32, vma=vma),
         ],
+        compiler_params=_ATTN_COMPILER_PARAMS,
     )(*args)
 
     dscale = _match_cotangent_vma(dscale.reshape(num_heads), scale)
@@ -611,16 +625,29 @@ def _nobatch(lhs, rhs):
 
 
 def _pk_pick_block(n_windows: int, n_tokens: int, n_win_per_img: int,
-                   C: int, num_heads: int, target_rows: int) -> int:
+                   C: int, num_heads: int, target_rows: int,
+                   hg: int = 0) -> int:
     """Windows per program for the packed kernel. Same shape rules as
     _pick_block (multiple of nW, divides the total) plus a scoped-VMEM cap:
-    the dominant per-window buffers are the head-repeated k/v (hN, C)
-    compute-dtype pair and the f32 (hN, C) fold inputs in the backward —
-    together ≈ hN·C·8 bytes/window (matches the measured 35.6 MB stack at
-    s4 wb=64 that OOM'd Mosaic's 16 MB limit). Cap the block so that
-    estimate stays ≤ 10 MB, leaving headroom for the score tensors."""
-    hN = num_heads * n_tokens
-    per_win = hN * C * 8
+    the dominant per-window buffers are the head-repeated k/v (gN, Cg)
+    compute-dtype pair and the f32 (gN, Cg) fold inputs in the backward —
+    together ≈ gN·Cg·8 bytes/window per head GROUP (the group loop reuses
+    them; gN = hg·N, Cg = hg·hd — matches the measured 35.6 MB stack at the
+    full-pack s4 wb=64 that OOM'd Mosaic's 16 MB limit). Cap the block so
+    that estimate stays ≤ 10 MB, leaving headroom for the score tensors."""
+    hg = hg or num_heads
+    ng = num_heads // hg
+    gN = hg * n_tokens
+    Cg = C * hg // num_heads
+    per_win = gN * Cg * 8
+    if ng > 1:
+        # The group loop is UNROLLED in the kernel body and Mosaic does not
+        # share stack across the unrolled bodies: every group's live
+        # score-shaped f32 tensors (~7 of (N, gN): s_cos, e, p, dp, ds,
+        # rowexp, invexp) accumulate on top of the repeat buffers. Measured:
+        # sw3 hg=2 wb=16 hit a 16.65 MB stack (~1.04 MB/window) where the
+        # ng=1 model predicted 0.8 MB total; this term predicts 0.95.
+        per_win = ng * (per_win + 7 * n_tokens * gN * 4)
     cap = max(1, (10 * 1024 * 1024) // (per_win * n_win_per_img))
     target = max(1, target_rows // max(1, n_win_per_img * n_tokens))
     target = min(target, cap)
@@ -631,21 +658,15 @@ def _pk_pick_block(n_windows: int, n_tokens: int, n_win_per_img: int,
     return g * n_win_per_img
 
 
-def _pk_norm(x):
-    """Returns (x_normalised f32, r, active) with per-head l2 over channel
-    blocks, all (W, N, C) — blockC expands the segment sums to full lanes."""
-    return x  # placeholder, real work inline (kept for readability)
-
-
-def _pk_recompute(qkv, scalep, biasp, mask, hm_c, blockC, segsum,
-                  num_heads, compute):
-    """Shared fwd math on one block: returns (qn32, rq, aq, kn32, rk, ak,
-    qn, kn, krep, vrep, s_cos, s, e, denom). s_cos is pre-scale cosine."""
-    W, N, C3 = qkv.shape
-    C = C3 // 3
-    q = qkv[:, :, :C].astype(jnp.float32)
-    k = qkv[:, :, C:2 * C].astype(jnp.float32)
-    v = qkv[:, :, 2 * C:]
+def _pk_recompute(q, k, v, scalep, biasp, mask, hm_c, blockC, segsum,
+                  hg, compute):
+    """Shared fwd math on one head-GROUP slice: q/k/v (W, N, Cg)
+    compute-dtype where Cg = hg·hd. Returns (qn32, rq, aq, kn32, rk, ak,
+    qn, kn, krep, vrep, s_cos, e, denom); every score-shaped tensor is
+    (W, N, hg·N). The full pack is the hg = num_heads single-group case."""
+    W, N, _ = q.shape
+    q = q.astype(jnp.float32)
+    k = k.astype(jnp.float32)
     ssq_q = _nobatch(q * q, blockC)
     ssq_k = _nobatch(k * k, blockC)
     rq = lax.rsqrt(jnp.maximum(ssq_q, EPS * EPS))
@@ -656,34 +677,43 @@ def _pk_recompute(qkv, scalep, biasp, mask, hm_c, blockC, segsum,
     kn32 = k * rk
     qn = qn32.astype(compute)
     kn = kn32.astype(compute)
-    krep = jnp.concatenate([kn] * num_heads, axis=1) * hm_c
-    vrep = jnp.concatenate([v] * num_heads, axis=1) * hm_c
+    krep = jnp.concatenate([kn] * hg, axis=1) * hm_c
+    vrep = jnp.concatenate([v] * hg, axis=1) * hm_c
     s_cos = lax.dot_general(qn, krep, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    s = s_cos * scalep[None, None, :] + biasp[None]
+    s = s_cos * scalep[None] + biasp[None]
     if mask is not None:
         nW = mask.shape[0]
-        s = (s.reshape(W // nW, nW, N, num_heads * N) + mask[None]
-             ).reshape(W, N, num_heads * N)
+        s = (s.reshape(W // nW, nW, N, hg * N) + mask[None]
+             ).reshape(W, N, hg * N)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    denom = _nobatch(e, segsum)                       # (W, N, heads)
+    denom = _nobatch(e, segsum)                       # (W, N, hg)
     return (qn32, rq, aq, kn32, rk, ak, qn, kn, krep, vrep, s_cos, e, denom)
 
 
 def _pk_fwd_body(qkv_ref, scalep_ref, biasp_ref, mask_ref, hm_ref,
                  blockC_ref, segsum_ref, segC_ref, out_ref,
-                 num_heads, compute):
+                 num_heads, hg, compute):
     qkv = qkv_ref[:]
+    W, N, C3 = qkv.shape
+    C = C3 // 3
+    ng = num_heads // hg
+    Cg = C // ng
     mask = mask_ref[:] if mask_ref is not None else None
-    (_, _, _, _, _, _, _, _, _, vrep, _, e, denom) = _pk_recompute(
-        qkv, scalep_ref[0], biasp_ref[:], mask, hm_ref[:].astype(compute),
-        blockC_ref[:], segsum_ref[:], num_heads, compute)
-    out = lax.dot_general(e.astype(compute), vrep,
-                          (((2,), (1,)), ((0,), (0,))),
-                          preferred_element_type=jnp.float32)
-    invC = _nobatch(1.0 / denom, segC_ref[:])         # (W, N, C)
-    out_ref[:] = (out * invC).astype(out_ref.dtype)
+    hm_c = hm_ref[:].astype(compute)
+    for gi in range(ng):
+        o = gi * Cg
+        (_, _, _, _, _, _, _, _, _, vrep, _, e, denom) = _pk_recompute(
+            qkv[:, :, o:o + Cg], qkv[:, :, C + o:C + o + Cg],
+            qkv[:, :, 2 * C + o:2 * C + o + Cg],
+            scalep_ref[gi], biasp_ref[gi], mask, hm_c,
+            blockC_ref[:], segsum_ref[:], hg, compute)
+        out = lax.dot_general(e.astype(compute), vrep,
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+        invC = _nobatch(1.0 / denom, segC_ref[:])     # (W, N, Cg)
+        out_ref[:, :, o:o + Cg] = (out * invC).astype(out_ref.dtype)
 
 
 def _fold_heads(x_full, hm, num_heads, N):
@@ -698,7 +728,7 @@ def _fold_heads(x_full, hm, num_heads, N):
 
 def _pk_bwd_body(qkv_ref, scalep_ref, biasp_ref, mask_ref, hm_ref,
                  blockC_ref, segsum_ref, segexp_ref, g_ref,
-                 dqkv_ref, dscalep_ref, dbiasp_ref, num_heads, compute):
+                 dqkv_ref, dscalep_ref, dbiasp_ref, num_heads, hg, compute):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -709,80 +739,95 @@ def _pk_bwd_body(qkv_ref, scalep_ref, biasp_ref, mask_ref, hm_ref,
     qkv = qkv_ref[:]
     W, N, C3 = qkv.shape
     C = C3 // 3
+    ng = num_heads // hg
+    Cg = C // ng
     mask = mask_ref[:] if mask_ref is not None else None
     hm = hm_ref[:]
-    scalep = scalep_ref[0]
-    (qn32, rq, aq, kn32, rk, ak, qn, _, krep, vrep, s_cos, e, denom) = \
-        _pk_recompute(qkv, scalep, biasp_ref[:], mask, hm.astype(compute),
-                      blockC_ref[:], segsum_ref[:], num_heads, compute)
-    invexp = _nobatch(1.0 / denom, segexp_ref[:])     # (W, N, hN)
-    p = e * invexp
+    hm_c = hm.astype(compute)
     g = g_ref[:]
-    gc = g.astype(compute)
-    dp = lax.dot_general(gc, vrep, (((2,), (2,)), ((0,), (0,))),
-                         preferred_element_type=jnp.float32)
-    pc = p.astype(compute)
-    dvfull = lax.dot_general(pc, gc, (((1,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
-    dv = _fold_heads(dvfull, hm, num_heads, N)
-    # softmax VJP, segmented per (row, head)
-    rowsum = _nobatch(p * dp, segsum_ref[:])          # (W, N, heads)
-    rowexp = _nobatch(rowsum, segexp_ref[:])          # (W, N, hN)
-    ds = p * (dp - rowexp)
-    dbiasp_ref[:] += jnp.sum(ds, axis=0)
-    dscalep_ref[:] += jnp.sum(jnp.sum(ds * s_cos, axis=0), axis=0,
-                              keepdims=True)
-    dsc = (ds * scalep[None, None, :]).astype(compute)
-    dqn = lax.dot_general(dsc, krep, (((2,), (1,)), ((0,), (0,))),
-                          preferred_element_type=jnp.float32)
-    dknfull = lax.dot_general(dsc, qn, (((1,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
-    dkn = _fold_heads(dknfull, hm, num_heads, N)
-    # l2-norm VJP, per-head segments expanded via blockC
-    rd_q = _nobatch(dqn * qn32, blockC_ref[:])
-    rd_k = _nobatch(dkn * kn32, blockC_ref[:])
-    dq = rq * (dqn - jnp.where(aq, qn32 * rd_q, 0.0))
-    dk = rk * (dkn - jnp.where(ak, kn32 * rd_k, 0.0))
     dt = dqkv_ref.dtype
-    dqkv_ref[:, :, :C] = dq.astype(dt)
-    dqkv_ref[:, :, C:2 * C] = dk.astype(dt)
-    dqkv_ref[:, :, 2 * C:] = dv.astype(dt)
+    for gi in range(ng):
+        o = gi * Cg
+        scalep = scalep_ref[gi]                       # (1, gN)
+        (qn32, rq, aq, kn32, rk, ak, qn, _, krep, vrep, s_cos, e, denom) = \
+            _pk_recompute(qkv[:, :, o:o + Cg], qkv[:, :, C + o:C + o + Cg],
+                          qkv[:, :, 2 * C + o:2 * C + o + Cg],
+                          scalep, biasp_ref[gi], mask, hm_c,
+                          blockC_ref[:], segsum_ref[:], hg, compute)
+        invexp = _nobatch(1.0 / denom, segexp_ref[:])     # (W, N, gN)
+        p = e * invexp
+        gc = g[:, :, o:o + Cg].astype(compute)
+        dp = lax.dot_general(gc, vrep, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+        pc = p.astype(compute)
+        dvfull = lax.dot_general(pc, gc, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dv = _fold_heads(dvfull, hm, hg, N)
+        # softmax VJP, segmented per (row, head)
+        rowsum = _nobatch(p * dp, segsum_ref[:])          # (W, N, hg)
+        rowexp = _nobatch(rowsum, segexp_ref[:])          # (W, N, gN)
+        ds = p * (dp - rowexp)
+        dbiasp_ref[gi] += jnp.sum(ds, axis=0)
+        dscalep_ref[gi] += jnp.sum(jnp.sum(ds * s_cos, axis=0), axis=0,
+                                   keepdims=True)
+        dsc = (ds * scalep[None]).astype(compute)
+        dqn = lax.dot_general(dsc, krep, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+        dknfull = lax.dot_general(dsc, qn, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        dkn = _fold_heads(dknfull, hm, hg, N)
+        # l2-norm VJP, per-head segments expanded via blockC
+        rd_q = _nobatch(dqn * qn32, blockC_ref[:])
+        rd_k = _nobatch(dkn * kn32, blockC_ref[:])
+        dq = rq * (dqn - jnp.where(aq, qn32 * rd_q, 0.0))
+        dk = rk * (dkn - jnp.where(ak, kn32 * rd_k, 0.0))
+        dqkv_ref[:, :, o:o + Cg] = dq.astype(dt)
+        dqkv_ref[:, :, C + o:C + o + Cg] = dk.astype(dt)
+        dqkv_ref[:, :, 2 * C + o:2 * C + o + Cg] = dv.astype(dt)
 
 
-def _pk_pack_params(scale, bias16, mask, num_heads, N):
-    """(heads,), (heads,N,N), (nW,N,N) → packed (1,hN), (N,hN), (nW,N,hN)."""
-    hN = num_heads * N
-    scalep = jnp.repeat(scale, N).reshape(1, hN)
-    biasp = bias16.transpose(1, 0, 2).reshape(N, hN)
-    maskp = None if mask is None else jnp.tile(mask, (1, 1, num_heads))
+def _pk_pack_params(scale, bias16, mask, num_heads, N, hg):
+    """(heads,), (heads,N,N), (nW,N,N) → per-GROUP packed params
+    (ng, 1, gN), (ng, N, gN), (nW, N, gN) where ng = heads/hg, gN = hg·N.
+    Group lanes l = hl·N + j map to head gi·hg + hl; the mask tile is
+    group-independent. ng = 1 is the full pack."""
+    ng = num_heads // hg
+    gN = hg * N
+    scalep = jnp.repeat(scale, N).reshape(ng, 1, gN)
+    biasp = bias16.reshape(ng, hg, N, N).transpose(0, 2, 1, 3).reshape(
+        ng, N, gN)
+    maskp = None if mask is None else jnp.tile(mask, (1, 1, hg))
     return scalep, biasp, maskp
 
 
-def _pk_specs(wb, N, C3, num_heads, has_mask, nW):
+def _pk_specs(wb, N, C3, num_heads, hg, has_mask, nW):
     C = C3 // 3
-    hN = num_heads * N
+    ng = num_heads // hg
+    gN = hg * N
+    Cg = C // ng
     const = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     specs = [
         pl.BlockSpec((wb, N, C3), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        const((1, hN)),          # scalep
-        const((N, hN)),          # biasp
+        const((ng, 1, gN)),      # scalep
+        const((ng, N, gN)),      # biasp
     ]
     if has_mask:
-        specs.append(const((nW, N, hN)))
-    specs += [const((hN, C)), const((C, C)), const((hN, num_heads))]
+        specs.append(const((nW, N, gN)))
+    specs += [const((gN, Cg)), const((Cg, Cg)), const((gN, hg))]
     return specs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6, 7, 8, 9))
 def fused_window_attention_packed(qkv: jnp.ndarray, scale: jnp.ndarray,
                                   bias16: jnp.ndarray, num_heads: int,
                                   n_win_per_img: int,
                                   mask: Optional[jnp.ndarray] = None,
                                   block_rows: int = 1024,
                                   interpret: bool = False,
-                                  out_dtype=None) -> jnp.ndarray:
+                                  out_dtype=None,
+                                  head_group: int = 0) -> jnp.ndarray:
     """Same contract as fused_window_attention (qkv (B_, N, 3C)
     compute-dtype → (B_, N, C)); packed-lane layout inside.
     interpret=True runs the packed Pallas program in the interpreter —
@@ -791,26 +836,37 @@ def fused_window_attention_packed(qkv: jnp.ndarray, scale: jnp.ndarray,
     out_dtype (default f32) lets the caller take the pre-proj activations
     in bf16 — the proj GEMM consumes bf16 anyway, so this halves the
     kernel-output HBM traffic AND the incoming cotangent traffic in the
-    backward (VERDICT r3 next #2); softmax and accumulation stay f32."""
+    backward (VERDICT r3 next #2); softmax and accumulation stay f32.
+    head_group (default 0 = num_heads, the full pack) packs hg heads per
+    lane group and loops num_heads/hg groups over CHANNEL-SLICED q/k/v —
+    the N=49 Swin shapes lose under the full pack because the
+    head-repeated k/v buffers (hN·C·8 B/window ≈ 3.2 MB at h=16, C=512)
+    force single-window grid blocks; hg=4 with hd=32 keeps the slices
+    128-lane aligned, pads 196→256 (1.31× vs per-head 2.6×) and shrinks
+    the per-group repeat to gN·Cg·8 ≈ 200 KB/window."""
     return _pk_fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
-                   block_rows, interpret, out_dtype)
+                   block_rows, interpret, out_dtype, head_group)
 
 
 def _pk_fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask, block_rows,
-            interpret=False, out_dtype=None):
+            interpret=False, out_dtype=None, head_group=0):
     B_, N, C3 = qkv.shape
     C = C3 // 3
+    hg = head_group or num_heads
+    assert num_heads % hg == 0 and C % num_heads == 0
     compute = qkv.dtype
     out_dtype = out_dtype or jnp.float32
     if _interpret() and not interpret:
         return _heads_fwd(qkv, scale, bias16, mask, num_heads,
                           compute).astype(out_dtype)
     has_mask = mask is not None
+    Cg = C * hg // num_heads
     hm, blockC, segsum, _, segC = (jnp.asarray(a) for a in
-                                   _pk_constants(num_heads, N, C))
-    scalep, biasp, maskp = _pk_pack_params(scale, bias16, mask, num_heads, N)
+                                   _pk_constants(hg, N, Cg))
+    scalep, biasp, maskp = _pk_pack_params(scale, bias16, mask, num_heads,
+                                           N, hg)
     wb = _pk_pick_block(B_, N, n_win_per_img, C, num_heads,
-                        target_rows=block_rows)
+                        target_rows=block_rows, hg=hg)
     grid = (B_ // wb,)
     args = [qkv, scalep, biasp] + ([maskp] if has_mask else []) + \
         [hm, blockC, segsum, segC]
@@ -818,13 +874,13 @@ def _pk_fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask, block_rows,
     vma = _vma_union(*args)
     if has_mask:
         def kernel(q, sc, b, m, *rest):
-            _pk_fwd_body(q, sc, b, m, *rest, num_heads, compute)
+            _pk_fwd_body(q, sc, b, m, *rest, num_heads, hg, compute)
     else:
         def kernel(q, sc, b, *rest):
-            _pk_fwd_body(q, sc, b, None, *rest, num_heads, compute)
-    in_specs = _pk_specs(wb, N, C3, num_heads, has_mask,
+            _pk_fwd_body(q, sc, b, None, *rest, num_heads, hg, compute)
+    in_specs = _pk_specs(wb, N, C3, num_heads, hg, has_mask,
                          n_win_per_img)
-    in_specs.append(pl.BlockSpec((num_heads, C), lambda i: (0, 0),
+    in_specs.append(pl.BlockSpec((hg, Cg), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM))     # segC
     return pl.pallas_call(
         kernel,
@@ -833,23 +889,26 @@ def _pk_fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask, block_rows,
         out_specs=pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B_, N, C), out_dtype, vma=vma),
+        compiler_params=_ATTN_COMPILER_PARAMS,
         interpret=interpret,
     )(*args)
 
 
 def _pk_fwd_rule(qkv, scale, bias16, num_heads, n_win_per_img, mask,
-                 block_rows, interpret, out_dtype):
+                 block_rows, interpret, out_dtype, head_group):
     out = _pk_fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
-                  block_rows, interpret, out_dtype)
+                  block_rows, interpret, out_dtype, head_group)
     return out, (qkv, scale, bias16, mask)
 
 
 def _pk_bwd_rule(num_heads, n_win_per_img, block_rows, interpret, out_dtype,
-                 residuals, g):
+                 head_group, residuals, g):
     qkv, scale, bias16, mask = residuals
     B_, N, C3 = qkv.shape
     C = C3 // 3
-    hN = num_heads * N
+    hg = head_group or num_heads
+    ng = num_heads // hg
+    gN = hg * N
     compute = qkv.dtype
     has_mask = mask is not None
 
@@ -861,11 +920,13 @@ def _pk_bwd_rule(num_heads, n_win_per_img, block_rows, interpret, out_dtype,
         return (dqkv, dscale, dbias,
                 jnp.zeros_like(mask) if has_mask else None)
 
+    Cg = C // ng
     hm, blockC, segsum, segexp, _ = (jnp.asarray(a) for a in
-                                     _pk_constants(num_heads, N, C))
-    scalep, biasp, maskp = _pk_pack_params(scale, bias16, mask, num_heads, N)
+                                     _pk_constants(hg, N, Cg))
+    scalep, biasp, maskp = _pk_pack_params(scale, bias16, mask, num_heads,
+                                           N, hg)
     wb = _pk_pick_block(B_, N, n_win_per_img, C, num_heads,
-                        target_rows=block_rows)
+                        target_rows=block_rows, hg=hg)
     grid = (B_ // wb,)
     g = g if g.dtype == compute else g.astype(jnp.float32)
     args = [qkv, scalep, biasp] + ([maskp] if has_mask else []) + \
@@ -874,12 +935,12 @@ def _pk_bwd_rule(num_heads, n_win_per_img, block_rows, interpret, out_dtype,
     vma = _vma_union(*args)
     if has_mask:
         def kernel(q, sc, b, m, *rest):
-            _pk_bwd_body(q, sc, b, m, *rest, num_heads, compute)
+            _pk_bwd_body(q, sc, b, m, *rest, num_heads, hg, compute)
     else:
         def kernel(q, sc, b, *rest):
-            _pk_bwd_body(q, sc, b, None, *rest, num_heads, compute)
-    in_specs = _pk_specs(wb, N, C3, num_heads, has_mask, n_win_per_img)
-    in_specs.append(pl.BlockSpec((num_heads, hN), lambda i: (0, 0),
+            _pk_bwd_body(q, sc, b, None, *rest, num_heads, hg, compute)
+    in_specs = _pk_specs(wb, N, C3, num_heads, hg, has_mask, n_win_per_img)
+    in_specs.append(pl.BlockSpec((hg, gN), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM))     # segexp
     in_specs.append(pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM))     # g
@@ -890,22 +951,24 @@ def _pk_bwd_rule(num_heads, n_win_per_img, block_rows, interpret, out_dtype,
         out_specs=[
             pl.BlockSpec((wb, N, C3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hN), lambda i: (0, 0),
+            pl.BlockSpec((ng, 1, gN), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, hN), lambda i: (0, 0),
+            pl.BlockSpec((ng, N, gN), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B_, N, C3), compute, vma=vma),
-            jax.ShapeDtypeStruct((1, hN), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((N, hN), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((ng, 1, gN), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((ng, N, gN), jnp.float32, vma=vma),
         ],
+        compiler_params=_ATTN_COMPILER_PARAMS,
         interpret=interpret,
     )(*args)
 
-    # unpack: lanes hj = h·N + j
+    # unpack: group gi lane hl·N + j maps to head gi·hg + hl
     dscale = jnp.sum(dscalep.reshape(num_heads, N), axis=1)
-    dbias = dbiasp.reshape(N, num_heads, N).transpose(1, 0, 2)
+    dbias = dbiasp.reshape(ng, N, hg, N).transpose(0, 2, 1, 3).reshape(
+        num_heads, N, N)
     dscale = _match_cotangent_vma(dscale, scale)
     dbias = _match_cotangent_vma(dbias, bias16)
     dmask = jnp.zeros_like(mask) if has_mask else None
@@ -915,19 +978,23 @@ def _pk_bwd_rule(num_heads, n_win_per_img, block_rows, interpret, out_dtype,
 fused_window_attention_packed.defvjp(_pk_fwd_rule, _pk_bwd_rule)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6, 7))
 def fused_window_attention(qkv: jnp.ndarray, scale: jnp.ndarray,
                            bias16: jnp.ndarray,
                            num_heads: int,
                            n_win_per_img: int,
                            mask: Optional[jnp.ndarray] = None,
-                           block_rows: int = 1024) -> jnp.ndarray:
+                           block_rows: int = 1024,
+                           out_dtype=None) -> jnp.ndarray:
     """qkv (B_, N, 3C) compute-dtype; scale (heads,) f32 (already
     exp-clamped); bias16 (heads, N, N) f32 (already 16·sigmoid(CPB));
     mask (nW, N, N) f32 additive or None; block_rows: see _pick_block.
-    Returns (B_, N, C) f32."""
+    Returns (B_, N, C). out_dtype (default f32) lets the caller take the
+    pre-proj activations in compute dtype — halves the output AND incoming-
+    cotangent HBM traffic when the consumer (the proj GEMM) reads bf16
+    anyway (VERDICT r3 next #2, same plumbing as the packed kernel)."""
     return _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
-                block_rows)
+                block_rows, out_dtype)
 
 
 def _bwd_jnp(qkv, scale, bias16, mask, g, num_heads):
@@ -985,14 +1052,16 @@ def _bwd_jnp(qkv, scale, bias16, mask, g, num_heads):
 
 
 def _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
-         block_rows=1024):
+         block_rows=1024, out_dtype=None):
     B_, N, C3 = qkv.shape
     C = C3 // 3
     compute = qkv.dtype
+    out_dtype = out_dtype or jnp.float32
     has_mask = mask is not None
 
     if _interpret():
-        return _heads_fwd(qkv, scale, bias16, mask, num_heads, compute)
+        return _heads_fwd(qkv, scale, bias16, mask, num_heads,
+                          compute).astype(out_dtype)
 
     wb = _pick_block(B_, N, n_win_per_img, target_rows=block_rows)
     grid = (B_ // wb,)
@@ -1016,20 +1085,21 @@ def _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
                         n_win_per_img),
         out_specs=pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B_, N, C), jnp.float32, vma=vma),
+        out_shape=jax.ShapeDtypeStruct((B_, N, C), out_dtype, vma=vma),
+        compiler_params=_ATTN_COMPILER_PARAMS,
         interpret=_interpret(),
     )(*args)
     return out
 
 
 def _fwd_rule(qkv, scale, bias16, num_heads, n_win_per_img, mask,
-              block_rows):
+              block_rows, out_dtype):
     out = _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
-               block_rows)
+               block_rows, out_dtype)
     return out, (qkv, scale, bias16, mask)
 
 
-def _bwd_rule(num_heads, n_win_per_img, block_rows, residuals, g):
+def _bwd_rule(num_heads, n_win_per_img, block_rows, out_dtype, residuals, g):
     qkv, scale, bias16, mask = residuals
     B_, N, C3 = qkv.shape
     compute = qkv.dtype
@@ -1049,7 +1119,9 @@ def _bwd_rule(num_heads, n_win_per_img, block_rows, residuals, g):
     args = [qkv, jnp.reshape(scale, (1, num_heads)), bias16]
     if has_mask:
         args.append(mask)
-    args.append(g.astype(jnp.float32))
+    # cotangent stays in its own dtype through HBM (bf16 when out_dtype is
+    # bf16 — the kernel only consumes it via compute-dtype casts)
+    args.append(g)
     args = _align_vma(*args)
     vma = _vma_union(*args)
 
@@ -1080,6 +1152,7 @@ def _bwd_rule(num_heads, n_win_per_img, block_rows, residuals, g):
             jax.ShapeDtypeStruct((1, num_heads), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((num_heads, N, N), jnp.float32, vma=vma),
         ],
+        compiler_params=_ATTN_COMPILER_PARAMS,
         interpret=_interpret(),
     )(*args)
 

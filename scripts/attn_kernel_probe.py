@@ -99,9 +99,20 @@ def _call_v1(q, sc, b, m, heads, nW, block_rows):
     return fwa.fused_window_attention(q, sc, b, heads, nW, m, block_rows)
 
 
+def _call_v1b(q, sc, b, m, heads, nW, block_rows):
+    # bf16 pre-proj output + bf16 incoming cotangent (model-path setting)
+    return fwa.fused_window_attention(q, sc, b, heads, nW, m, block_rows,
+                                      jnp.bfloat16).astype(jnp.float32)
+
+
 def _call_v2(q, sc, b, m, heads, nW, block_rows):
     return fwa.fused_window_attention_packed(q, sc, b, heads, nW, m,
                                              block_rows)
+
+
+def _call_v2g(q, sc, b, m, heads, nW, block_rows, hg):
+    return fwa.fused_window_attention_packed(q, sc, b, heads, nW, m,
+                                             block_rows, False, None, hg)
 
 
 def run_shape(name, masked, parity=False, timing=True):
@@ -127,9 +138,17 @@ def run_shape(name, masked, parity=False, timing=True):
         if not os.environ.get("ATTN_PROBE_ONLY_V2"):
             variants[f"v1 br={br}"] = functools.partial(
                 _call_v1, heads=heads, nW=nW, block_rows=br)
+            if os.environ.get("ATTN_PROBE_V1BF16"):
+                variants[f"v1b br={br}"] = functools.partial(
+                    _call_v1b, heads=heads, nW=nW, block_rows=br)
         if hasattr(fwa, "fused_window_attention_packed"):
             variants[f"v2 br={br}"] = functools.partial(
                 _call_v2, heads=heads, nW=nW, block_rows=br)
+            for hg in [int(h) for h in os.environ.get(
+                    "ATTN_PROBE_GROUPS", "").split(",") if h]:
+                if hg < heads and heads % hg == 0:
+                    variants[f"v2g{hg} br={br}"] = functools.partial(
+                        _call_v2g, heads=heads, nW=nW, block_rows=br, hg=hg)
 
     # parity vs the jnp oracle — errors reduced ON DEVICE (axon D2H of
     # >4 MB arrays can hang; verify-skill gotcha)

@@ -76,6 +76,37 @@ def test_fused_matches_unfused(B_, N, C, h, nW, masked, dt, tol):
             atol=tol * max(mag, 1.0))
 
 
+def test_v1_out_dtype_bf16():
+    """out_dtype=bf16 on the per-head kernel (the Swin/EffiAlter N=49
+    dispatch): output dtype honoured, values and grads within bf16 noise
+    of the f32-out call — the cotangent round-trips HBM in bf16."""
+    B_, N, C, h, nW = 16, 49, 256, 8, 4
+    rng = np.random.default_rng(11)
+    qkv = jnp.asarray(rng.standard_normal((B_, N, 3 * C)), jnp.bfloat16)
+    scale = jnp.asarray(np.abs(rng.standard_normal(h)) + 1.0, jnp.float32)
+    bias16 = jnp.asarray(rng.standard_normal((h, N, N)), jnp.float32)
+
+    out_b = fused_window_attention(qkv, scale, bias16, h, nW, None, 1024,
+                                   jnp.bfloat16)
+    assert out_b.dtype == jnp.bfloat16
+    out_r = _ref_attn(qkv, scale, bias16, None, h)
+    mag = float(jnp.abs(out_r).max())
+    np.testing.assert_allclose(np.asarray(out_b, np.float32),
+                               np.asarray(out_r), atol=3e-2 * max(mag, 1.0))
+
+    fb = lambda *a: fused_window_attention(  # noqa: E731
+        a[0], a[1], a[2], h, nW, None, 1024, jnp.bfloat16
+    ).astype(jnp.float32).sum()
+    rr = lambda *a: _ref_attn(a[0], a[1], a[2], None, h).sum()  # noqa: E731
+    gf = jax.grad(fb, argnums=(0, 1, 2))(qkv, scale, bias16)
+    gr = jax.grad(rr, argnums=(0, 1, 2))(qkv, scale, bias16)
+    for a, b in zip(gf, gr):
+        m = float(jnp.abs(b.astype(jnp.float32)).max())
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=3e-2 * max(m, 1.0))
+
+
 @pytest.mark.parametrize("B_,N,C,h,nW,masked,dt,tol", CASES)
 def test_packed_interpret_matches_unfused(B_, N, C, h, nW, masked, dt, tol):
     """The packed-lane kernel's REAL program (repeat/mask/segment matrices,
@@ -108,6 +139,84 @@ def test_packed_interpret_matches_unfused(B_, N, C, h, nW, masked, dt, tol):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             atol=tol * max(mag, 1.0))
+
+
+GROUPED_CASES = [
+    # (B_, N, C, heads, nW, hg, masked, dtype, tol) — the head-grouped
+    # packed kernel (ng = heads/hg channel-sliced group loop): sw4-like
+    # winning shape (hg = heads/2 → 392 lanes), plus a masked f32 case and
+    # a non-aligned hd=12 case to exercise the fold/unpack on odd widths.
+    (4, 49, 512, 16, 1, 8, False, jnp.bfloat16, 3e-2),
+    (8, 49, 128, 8, 4, 4, True, jnp.float32, 5e-5),
+    (8, 36, 96, 4, 4, 2, True, jnp.float32, 5e-5),  # hd=24, Cg=48
+]
+
+
+@pytest.mark.parametrize("B_,N,C,h,nW,hg,masked,dt,tol", GROUPED_CASES)
+def test_grouped_interpret_matches_unfused(B_, N, C, h, nW, hg, masked, dt,
+                                           tol):
+    """head_group < heads runs the channel-sliced group loop (per-group
+    packed params, ng-indexed dscale/dbias accumulators, group unpack) —
+    real program under the Pallas interpreter vs the unfused oracle."""
+    from fr_tpu.ops.fused_window_attn import fused_window_attention_packed
+
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.standard_normal((B_, N, 3 * C)), dt)
+    scale = jnp.asarray(np.abs(rng.standard_normal(h)) + 1.0, jnp.float32)
+    bias16 = jnp.asarray(rng.standard_normal((h, N, N)), jnp.float32)
+    mask = (jnp.asarray(np.where(rng.random((nW, N, N)) > 0.8, -100.0, 0.0),
+                        jnp.float32) if masked else None)
+
+    out_f = fused_window_attention_packed(qkv, scale, bias16, h, nW, mask,
+                                          1024, True, None, hg)
+    out_r = _ref_attn(qkv, scale, bias16, mask, h)
+    ref_mag = float(jnp.abs(out_r).max())
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               atol=tol * max(ref_mag, 1.0))
+
+    f = lambda *a: fused_window_attention_packed(  # noqa: E731
+        a[0], a[1], a[2], h, nW, mask, 1024, True, None, hg).sum()
+    r = lambda *a: _ref_attn(a[0], a[1], a[2], mask, h).sum()  # noqa: E731
+    gf = jax.grad(f, argnums=(0, 1, 2))(qkv, scale, bias16)
+    gr = jax.grad(r, argnums=(0, 1, 2))(qkv, scale, bias16)
+    for a, b in zip(gf, gr):
+        mag = float(jnp.abs(b.astype(jnp.float32)).max())
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=tol * max(mag, 1.0))
+
+
+def test_pick_head_group_rule():
+    """The measured dispatch rule: full pack at the AlterNet shapes
+    (heads·N ≤ 288), per-head (0) at every N=49 shape — all packed/grouped
+    variants measured ties or losses there (ROUND4_NOTES.md)."""
+    from fr_tpu.models.swin_common import pick_head_group
+
+    assert pick_head_group(4, 36) == 4      # s2: 144
+    assert pick_head_group(8, 36) == 8      # s3: 288
+    assert pick_head_group(16, 9) == 16     # s4: 144
+    assert pick_head_group(8, 49) == 0      # sw3: 392 → per-head
+    assert pick_head_group(16, 49) == 0     # sw4: 784 → per-head
+    assert pick_head_group(32, 49) == 0     # EffiAlter_l s7: 1568
+
+
+def test_pk_block_pick_grouped_vmem():
+    """The grouped estimator must model the UNROLLED group loop: Mosaic
+    does not share stack across the ng bodies, so every group's repeat
+    buffers AND score tensors accumulate (measured: sw3 hg=2 wb=16 hit a
+    16.65 MB stack where the ng=1 model predicted 0.8 MB)."""
+    from fr_tpu.ops.fused_window_attn import _pk_pick_block
+
+    # sw4 hg=8 (W=128, N=49, nW=1, C=512, heads=16): ng=2 → wb=2
+    assert _pk_pick_block(128, 49, 1, 512, 16, 1024, hg=8) == 2
+    # sw3 hg=2 (W=512, N=49, nW=4, C=256, heads=8): ng=4 must come in
+    # well under the wb=16 that OOM'd at 16.65 MB
+    wb = _pk_pick_block(512, 49, 4, 256, 8, 1024, hg=2)
+    assert wb <= 8 and wb % 4 == 0
+    # estimate at the picked block stays under the 10 MB budget
+    ng, gN, Cg = 4, 2 * 49, 64
+    per_win = ng * (gN * Cg * 8 + 7 * 49 * gN * 4)
+    assert per_win * wb <= 10 * 1024 * 1024
 
 
 def test_pk_block_pick_caps_vmem():
