@@ -151,6 +151,15 @@ class WindowAttention(nn.Module):
     # faster than the per-head variant on every AlterNet50 stage shape,
     # ROUND4_NOTES.md); False = the per-head round-2 kernel
     packed: bool = True
+    # entry-fused packed kernel (qkv projection GEMM INSIDE the attention
+    # kernel). Measured NEGATIVE end-to-end in all three variants —
+    # AlterNet50 b=128: all-in-kernel backward 37.11 ms, fwd-only hybrid
+    # 37.66, hybrid with 2-D in-kernel GEMM 37.25, vs 34.64 with the qkv
+    # GEMM outside: XLA's separate GEMM + relayout copies pipeline better
+    # than the kernel can (ROUND4_NOTES.md). Kept as a tested option
+    # (tests/test_fused_window_attn.py entry-fused cases; real-lowering
+    # parity in scripts/tpu_smoke.py stanza 1b'').
+    entry_fused: bool = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray] = None):
@@ -181,9 +190,6 @@ class WindowAttention(nn.Module):
         else:
             bias = jnp.zeros((3 * C,), jnp.float32)
 
-        qkv = (jnp.dot(x.astype(self.dtype), qkv_kernel.astype(self.dtype),
-                       precision=prec)
-               + bias.astype(self.dtype))
         # cosine attention with clamped learnable temperature
         # (reference AlterNet_SwinV2_FAN.py:277-279)
         logit_scale = self.param(
@@ -208,16 +214,36 @@ class WindowAttention(nn.Module):
         rel_bias = rel_bias.transpose(2, 0, 1)
         bias16 = 16.0 * jax.nn.sigmoid(rel_bias)     # (heads, N, N)
 
-        if spatial and (self.window[0], C) in SPATIAL_KERNEL_CONFIGS:
+        def _qkv(xin):
+            return (jnp.dot(xin.astype(self.dtype),
+                            qkv_kernel.astype(self.dtype), precision=prec)
+                    + bias.astype(self.dtype))
+
+        hg = pick_head_group(self.num_heads, N)
+        if (self.fused and not spatial and self.packed and hg
+                and self.entry_fused):
+            # entry-fused packed kernel: the qkv GEMM runs inside, so qkv
+            # never round-trips HBM and dW/dbias come out of the backward
+            # kernel directly (ROUND4_NOTES.md entry-fusion section)
+            from fr_tpu.ops.fused_window_attn import (
+                fused_window_attention_packed_qkv)
+            out = fused_window_attention_packed_qkv(
+                x.astype(self.dtype), qkv_kernel, bias,
+                scale.reshape(self.num_heads), bias16, self.num_heads,
+                mask.shape[0] if mask is not None else 1,
+                jnp.asarray(mask) if mask is not None else None,
+                self.block_rows, False, self.dtype, hg)
+        elif spatial and (self.window[0], C) in SPATIAL_KERNEL_CONFIGS:
             from fr_tpu.ops.fused_window_attn import (
                 fused_window_attention_spatial)
             out = fused_window_attention_spatial(
-                qkv, scale.reshape(self.num_heads), bias16,
+                _qkv(x), scale.reshape(self.num_heads), bias16,
                 self.num_heads, self.window[0],
                 jnp.asarray(mask) if mask is not None else None)
         elif spatial:
             # config not in SPATIAL_KERNEL_CONFIGS — window outside,
             # windows-API kernel inside
+            qkv = _qkv(x)
             ws = self.window[0]
             Hs, Ws = qkv.shape[1], qkv.shape[2]
             nW = (Hs // ws) * (Ws // ws)
@@ -226,8 +252,9 @@ class WindowAttention(nn.Module):
             out = window_reverse(out_w, ws, Hs, Ws)
         elif self.fused:
             nW = mask.shape[0] if mask is not None else 1
-            out = self._fused_call(qkv, scale, bias16, nW, mask)
+            out = self._fused_call(_qkv(x), scale, bias16, nW, mask)
         else:
+            qkv = _qkv(x)
             # Lane-aligned slices instead of a (3, heads) axis shuffle (the
             # 5-D transpose form materialises relayout copies per tensor
             # per block on TPU — ROUND2_NOTES.md AlterNet profile).

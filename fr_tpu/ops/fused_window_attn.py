@@ -626,7 +626,7 @@ def _nobatch(lhs, rhs):
 
 def _pk_pick_block(n_windows: int, n_tokens: int, n_win_per_img: int,
                    C: int, num_heads: int, target_rows: int,
-                   hg: int = 0) -> int:
+                   hg: int = 0, qkv_fused: bool = False) -> int:
     """Windows per program for the packed kernel. Same shape rules as
     _pick_block (multiple of nW, divides the total) plus a scoped-VMEM cap:
     the dominant per-window buffers are the head-repeated k/v (gN, Cg)
@@ -648,6 +648,11 @@ def _pk_pick_block(n_windows: int, n_tokens: int, n_win_per_img: int,
         # sw3 hg=2 wb=16 hit a 16.65 MB stack (~1.04 MB/window) where the
         # ng=1 model predicted 0.8 MB total; this term predicts 0.95.
         per_win = ng * (per_win + 7 * n_tokens * gN * 4)
+    if qkv_fused:
+        # entry-fused kernel adds the in-register qkv (compute, 2 B) and in
+        # the backward the f32 dqkv + its compute-dtype cast (4 + 2 B) —
+        # all (N, 3C)-shaped per window
+        per_win += n_tokens * 3 * C * 8
     cap = max(1, (10 * 1024 * 1024) // (per_win * n_win_per_img))
     target = max(1, target_rows // max(1, n_win_per_img * n_tokens))
     target = min(target, cap)
@@ -692,15 +697,15 @@ def _pk_recompute(q, k, v, scalep, biasp, mask, hm_c, blockC, segsum,
     return (qn32, rq, aq, kn32, rk, ak, qn, kn, krep, vrep, s_cos, e, denom)
 
 
-def _pk_fwd_body(qkv_ref, scalep_ref, biasp_ref, mask_ref, hm_ref,
-                 blockC_ref, segsum_ref, segC_ref, out_ref,
-                 num_heads, hg, compute):
-    qkv = qkv_ref[:]
+def _pk_fwd_groups(qkv, scalep_ref, biasp_ref, mask, hm_ref,
+                   blockC_ref, segsum_ref, segC_ref, out_ref,
+                   num_heads, hg, compute):
+    """Group loop of the packed forward on a qkv VALUE — shared between the
+    qkv-input body and the entry-fused (x-input) body."""
     W, N, C3 = qkv.shape
     C = C3 // 3
     ng = num_heads // hg
     Cg = C // ng
-    mask = mask_ref[:] if mask_ref is not None else None
     hm_c = hm_ref[:].astype(compute)
     for gi in range(ng):
         o = gi * Cg
@@ -716,6 +721,15 @@ def _pk_fwd_body(qkv_ref, scalep_ref, biasp_ref, mask_ref, hm_ref,
         out_ref[:, :, o:o + Cg] = (out * invC).astype(out_ref.dtype)
 
 
+def _pk_fwd_body(qkv_ref, scalep_ref, biasp_ref, mask_ref, hm_ref,
+                 blockC_ref, segsum_ref, segC_ref, out_ref,
+                 num_heads, hg, compute):
+    mask = mask_ref[:] if mask_ref is not None else None
+    _pk_fwd_groups(qkv_ref[:], scalep_ref, biasp_ref, mask, hm_ref,
+                   blockC_ref, segsum_ref, segC_ref, out_ref,
+                   num_heads, hg, compute)
+
+
 def _fold_heads(x_full, hm, num_heads, N):
     """(W, hN, C) masked-by-head → (W, N, C): mask cross-head channels then
     sum the per-head row blocks."""
@@ -726,26 +740,19 @@ def _fold_heads(x_full, hm, num_heads, N):
     return acc
 
 
-def _pk_bwd_body(qkv_ref, scalep_ref, biasp_ref, mask_ref, hm_ref,
-                 blockC_ref, segsum_ref, segexp_ref, g_ref,
-                 dqkv_ref, dscalep_ref, dbiasp_ref, num_heads, hg, compute):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        dscalep_ref[:] = jnp.zeros_like(dscalep_ref)
-        dbiasp_ref[:] = jnp.zeros_like(dbiasp_ref)
-
-    qkv = qkv_ref[:]
+def _pk_bwd_groups(qkv, scalep_ref, biasp_ref, mask, hm_ref,
+                   blockC_ref, segsum_ref, segexp_ref, g,
+                   dscalep_ref, dbiasp_ref, store, num_heads, hg, compute):
+    """Group loop of the packed backward on qkv/g VALUES. store(gi, o, Cg,
+    dq, dk, dv) receives the f32 per-group input grads — the qkv-input body
+    writes them to dqkv_ref slices, the entry-fused body assembles them
+    into the dx/dW/dbias chain. Shared between both kernels."""
     W, N, C3 = qkv.shape
     C = C3 // 3
     ng = num_heads // hg
     Cg = C // ng
-    mask = mask_ref[:] if mask_ref is not None else None
     hm = hm_ref[:]
     hm_c = hm.astype(compute)
-    g = g_ref[:]
-    dt = dqkv_ref.dtype
     for gi in range(ng):
         o = gi * Cg
         scalep = scalep_ref[gi]                       # (1, gN)
@@ -781,9 +788,32 @@ def _pk_bwd_body(qkv_ref, scalep_ref, biasp_ref, mask_ref, hm_ref,
         rd_k = _nobatch(dkn * kn32, blockC_ref[:])
         dq = rq * (dqn - jnp.where(aq, qn32 * rd_q, 0.0))
         dk = rk * (dkn - jnp.where(ak, kn32 * rd_k, 0.0))
+        store(gi, o, Cg, dq, dk, dv)
+
+
+def _pk_bwd_body(qkv_ref, scalep_ref, biasp_ref, mask_ref, hm_ref,
+                 blockC_ref, segsum_ref, segexp_ref, g_ref,
+                 dqkv_ref, dscalep_ref, dbiasp_ref, num_heads, hg, compute):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dscalep_ref[:] = jnp.zeros_like(dscalep_ref)
+        dbiasp_ref[:] = jnp.zeros_like(dbiasp_ref)
+
+    qkv = qkv_ref[:]
+    C = qkv.shape[2] // 3
+    mask = mask_ref[:] if mask_ref is not None else None
+    dt = dqkv_ref.dtype
+
+    def store(gi, o, Cg, dq, dk, dv):
         dqkv_ref[:, :, o:o + Cg] = dq.astype(dt)
         dqkv_ref[:, :, C + o:C + o + Cg] = dk.astype(dt)
         dqkv_ref[:, :, 2 * C + o:2 * C + o + Cg] = dv.astype(dt)
+
+    _pk_bwd_groups(qkv, scalep_ref, biasp_ref, mask, hm_ref, blockC_ref,
+                   segsum_ref, segexp_ref, g_ref[:], dscalep_ref, dbiasp_ref,
+                   store, num_heads, hg, compute)
 
 
 def _pk_pack_params(scale, bias16, mask, num_heads, N, hg):
@@ -976,6 +1006,326 @@ def _pk_bwd_rule(num_heads, n_win_per_img, block_rows, interpret, out_dtype,
 
 
 fused_window_attention_packed.defvjp(_pk_fwd_rule, _pk_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Entry-fused packed variant (v3): the qkv projection GEMM lives INSIDE the
+# kernel. Measured motivation (ROUND4_NOTES.md, fresh AlterNet50 XPlane):
+# with the projection outside, the (B_, N, 3C) qkv tensor round-trips HBM in
+# a GEMM-preferred {2,0,1} layout and XLA inserts transpose-rate
+# (~130 GB/s) relayout copies before every kernel call — ~1.75 ms/step of
+# copies plus the qkv write+read itself, and the remat replay doubles the
+# copies in the backward. Two XLA-side fixes measured negative (remat off:
+# 34.99 ms; 2-D reshaped dots: 35.61 ms vs 34.64 baseline), so the fix is
+# structural: take x (B_, N, C) + the (C, 3C) projection weights, compute
+# qkv on the MXU in-kernel (M = wb·N rows — fill-efficient), and in the
+# backward emit dx directly while accumulating dW/dbias across grid steps
+# (same sequential-grid accumulation the dscale/dbias outputs already use).
+# The qkv tensor then never exists in HBM in either direction.
+# ---------------------------------------------------------------------------
+
+
+# Backward strategy for the entry-fused op: True (shipping) = fwd-only
+# entry fusion with the v2 qkv-input backward kernel behind an XLA qkv
+# recompute; False = the all-in-kernel backward (dx/dW/dbias inside) —
+# measured negative end-to-end, kept for re-measurement (ROUND4_NOTES.md).
+_PKX_HYBRID_BWD = True
+
+
+def _pkx_qkv(x_ref, w_ref, b_ref, compute):
+    """In-kernel qkv projection: (wb, N, C) · (C, 3C) + (1, 3C) → compute
+    dtype, f32 MXU accumulation (matches the XLA dot it replaces). The dot
+    runs on the flattened (wb·N, C) view so it is ONE fill-efficient
+    M = wb·N matmul rather than wb unrolled M = N ones."""
+    x = x_ref[:]
+    W, N, C = x.shape
+    qkv32 = lax.dot_general(x.reshape(W * N, C), w_ref[:].astype(compute),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    qkv32 = qkv32.reshape(W, N, 3 * C)
+    return (qkv32 + b_ref[:].astype(jnp.float32)[None]).astype(compute)
+
+
+def _pkx_fwd_body(x_ref, w_ref, b_ref, scalep_ref, biasp_ref, mask_ref,
+                  hm_ref, blockC_ref, segsum_ref, segC_ref, out_ref,
+                  num_heads, hg, compute):
+    qkv = _pkx_qkv(x_ref, w_ref, b_ref, compute)
+    mask = mask_ref[:] if mask_ref is not None else None
+    _pk_fwd_groups(qkv, scalep_ref, biasp_ref, mask, hm_ref,
+                   blockC_ref, segsum_ref, segC_ref, out_ref,
+                   num_heads, hg, compute)
+
+
+def _pkx_bwd_body(x_ref, w_ref, wT_ref, b_ref, scalep_ref, biasp_ref,
+                  mask_ref, hm_ref, blockC_ref, segsum_ref, segexp_ref,
+                  g_ref, dx_ref, dw_ref, db_ref, dscalep_ref, dbiasp_ref,
+                  num_heads, hg, compute):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dscalep_ref[:] = jnp.zeros_like(dscalep_ref)
+        dbiasp_ref[:] = jnp.zeros_like(dbiasp_ref)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    qkv = _pkx_qkv(x_ref, w_ref, b_ref, compute)
+    W, N, C3 = qkv.shape
+    C = C3 // 3
+    ng = num_heads // hg
+    mask = mask_ref[:] if mask_ref is not None else None
+    parts = {}
+
+    def store(gi, o, Cg, dq, dk, dv):
+        parts[gi] = (dq, dk, dv)
+
+    _pk_bwd_groups(qkv, scalep_ref, biasp_ref, mask, hm_ref, blockC_ref,
+                   segsum_ref, segexp_ref, g_ref[:], dscalep_ref, dbiasp_ref,
+                   store, num_heads, hg, compute)
+    # assemble the full f32 dqkv in registers, then chain through the
+    # projection: dx = dqkv · Wᵀ, dW += xᵀ · dqkv, dbias += Σ dqkv
+    dqkv32 = jnp.concatenate(
+        [parts[gi][j] for j in range(3) for gi in range(ng)], axis=2)
+    dqkv_c = dqkv32.astype(compute)
+    dx = _nobatch(dqkv_c, wT_ref[:].astype(compute))  # (W, N, C) f32
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+    x2 = x_ref[:].reshape(W * N, C)
+    d2 = dqkv_c.reshape(W * N, C3)
+    dw_ref[:] += lax.dot_general(x2, d2, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    db_ref[:] += jnp.sum(dqkv32.reshape(W * N, C3), axis=0, keepdims=True)
+
+
+def _pkx_jnp(x, w, b, scale, bias16, mask, num_heads):
+    """Off-TPU twin: the exact qkv formulation the kernel uses (f32 MXU
+    accumulation + f32 bias add, cast to compute) feeding the packed
+    oracle."""
+    compute = x.dtype
+    qkv32 = lax.dot_general(x, w.astype(compute),
+                            (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    qkv = (qkv32 + b.astype(jnp.float32)).astype(compute)
+    return qkv, _heads_fwd(qkv, scale, bias16, mask, num_heads, compute)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 8, 9, 10, 11))
+def fused_window_attention_packed_qkv(x: jnp.ndarray, w: jnp.ndarray,
+                                      b: jnp.ndarray, scale: jnp.ndarray,
+                                      bias16: jnp.ndarray, num_heads: int,
+                                      n_win_per_img: int,
+                                      mask: Optional[jnp.ndarray] = None,
+                                      block_rows: int = 1024,
+                                      interpret: bool = False,
+                                      out_dtype=None,
+                                      head_group: int = 0) -> jnp.ndarray:
+    """Entry-fused packed window attention: x (B_, N, C) compute-dtype
+    windows + qkv projection weights w (C, 3C) f32 / bias b (3C,) f32 →
+    (B_, N, C) out_dtype. Everything from the qkv GEMM to the pre-proj
+    activations runs in one kernel; backward returns (dx, dW, dbias,
+    dscale, dbias16) with dW/dbias accumulated across sequential grid
+    steps. Semantics match fused_window_attention_packed(x·w + b, ...)
+    (reference AlterNet_SwinV2_FAN.py:252-302 — the qkv Linear at :265
+    plus the cosine attention it feeds)."""
+    return _pkx_fwd(x, w, b, scale, bias16, num_heads, n_win_per_img, mask,
+                    block_rows, interpret, out_dtype, head_group)
+
+
+def _pkx_fwd(x, w, b, scale, bias16, num_heads, n_win_per_img, mask,
+             block_rows, interpret=False, out_dtype=None, head_group=0):
+    B_, N, C = x.shape
+    hg = head_group or num_heads
+    assert num_heads % hg == 0 and C % num_heads == 0
+    compute = x.dtype
+    out_dtype = out_dtype or jnp.float32
+    if _interpret() and not interpret:
+        return _pkx_jnp(x, w, b, scale, bias16, mask,
+                        num_heads)[1].astype(out_dtype)
+    has_mask = mask is not None
+    Cg = C * hg // num_heads
+    hm, blockC, segsum, _, segC = (jnp.asarray(a) for a in
+                                   _pk_constants(hg, N, Cg))
+    scalep, biasp, maskp = _pk_pack_params(scale, bias16, mask, num_heads,
+                                           N, hg)
+    wb = _pk_pick_block(B_, N, n_win_per_img, C, num_heads,
+                        target_rows=block_rows, hg=hg, qkv_fused=True)
+    grid = (B_ // wb,)
+    b2 = b.reshape(1, 3 * C)
+    args = [x, w, b2, scalep, biasp] + ([maskp] if has_mask else []) + \
+        [hm, blockC, segsum, segC]
+    args = _align_vma(*args)
+    vma = _vma_union(*args)
+    if has_mask:
+        def kernel(xr, wr, br, sc, bp, m, *rest):
+            _pkx_fwd_body(xr, wr, br, sc, bp, m, *rest, num_heads, hg,
+                          compute)
+    else:
+        def kernel(xr, wr, br, sc, bp, *rest):
+            _pkx_fwd_body(xr, wr, br, sc, bp, None, *rest, num_heads, hg,
+                          compute)
+    in_specs = _pkx_specs(wb, N, C, num_heads, hg, has_mask, n_win_per_img)
+    in_specs.append(pl.BlockSpec((hg, Cg), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))     # segC
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_, N, C), out_dtype, vma=vma),
+        compiler_params=_ATTN_COMPILER_PARAMS,
+        interpret=interpret,
+    )(*args)
+
+
+def _pkx_specs(wb, N, C, num_heads, hg, has_mask, nW):
+    """in_specs for the entry-fused kernel: x block + projection params +
+    the packed-attention constants of _pk_specs."""
+    ng = num_heads // hg
+    gN = hg * N
+    Cg = C // ng
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    specs = [
+        pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const((C, 3 * C)),       # w
+        const((1, 3 * C)),       # bias
+        const((ng, 1, gN)),      # scalep
+        const((ng, N, gN)),      # biasp
+    ]
+    if has_mask:
+        specs.append(const((nW, N, gN)))
+    specs += [const((gN, Cg)), const((Cg, Cg)), const((gN, hg))]
+    return specs
+
+
+def _pkx_fwd_rule(x, w, b, scale, bias16, num_heads, n_win_per_img, mask,
+                  block_rows, interpret, out_dtype, head_group):
+    out = _pkx_fwd(x, w, b, scale, bias16, num_heads, n_win_per_img, mask,
+                   block_rows, interpret, out_dtype, head_group)
+    return out, (x, w, b, scale, bias16, mask)
+
+
+def _pkx_bwd_rule(num_heads, n_win_per_img, block_rows, interpret, out_dtype,
+                  head_group, residuals, g):
+    x, w, b, scale, bias16, mask = residuals
+    B_, N, C = x.shape
+    hg = head_group or num_heads
+    ng = num_heads // hg
+    gN = hg * N
+    compute = x.dtype
+    has_mask = mask is not None
+
+    if _interpret() and not interpret:
+        # chain the packed jnp backward through the projection
+        def f(x_, w_, b_, scale_, bias16_):
+            qkv, out = _pkx_jnp(x_, w_, b_, scale_, bias16_, mask, num_heads)
+            return out.astype(out_dtype or jnp.float32)
+        dx, dw, db, dscale, dbias = jax.vjp(f, x, w, b, scale, bias16)[1](g)
+        dscale = _match_cotangent_vma(dscale, scale)
+        dbias = _match_cotangent_vma(dbias, bias16)
+        return (dx, dw, db, dscale, dbias,
+                jnp.zeros_like(mask) if has_mask else None)
+
+    if _PKX_HYBRID_BWD:
+        # Fwd-only entry fusion (the shipping configuration): recompute qkv
+        # with an XLA GEMM (latency-hidden, layout-flexible) feeding the v2
+        # qkv-input backward kernel, then chain dx/dW/dbias as XLA dots.
+        # The all-in-kernel backward above measured NEGATIVE on the full
+        # step (AlterNet50 37.11 vs 34.64 ms — the dx/dW dots serialise
+        # against the attention chain inside the kernel body; ROUND4_NOTES)
+        # and is kept behind _PKX_HYBRID_BWD=False for re-measurement.
+        qkv32 = lax.dot_general(x, w.astype(compute),
+                                (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        qkv = (qkv32 + b.astype(jnp.float32)).astype(compute)
+        dqkv, dscale, dbias, _ = _pk_bwd_rule(
+            num_heads, n_win_per_img, block_rows, interpret, out_dtype,
+            head_group, (qkv, scale, bias16, mask), g)
+        dqkv_c = dqkv.astype(compute)
+        dx = lax.dot_general(dqkv_c, w.astype(compute).transpose(1, 0),
+                             (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32
+                             ).astype(compute)
+        x2 = x.reshape(B_ * N, C)
+        d2 = dqkv_c.reshape(B_ * N, 3 * C)
+        dw = lax.dot_general(x2, d2, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        db = jnp.sum(dqkv.astype(jnp.float32).reshape(B_ * N, 3 * C), axis=0)
+        dw = _match_cotangent_vma(dw, w)
+        db = _match_cotangent_vma(db, b)
+        dmask = jnp.zeros_like(mask) if has_mask else None
+        return (dx, dw, db, dscale, dbias, dmask)
+
+    Cg = C // ng
+    hm, blockC, segsum, segexp, _ = (jnp.asarray(a) for a in
+                                     _pk_constants(hg, N, Cg))
+    scalep, biasp, maskp = _pk_pack_params(scale, bias16, mask, num_heads,
+                                           N, hg)
+    wb = _pk_pick_block(B_, N, n_win_per_img, C, num_heads,
+                        target_rows=block_rows, hg=hg, qkv_fused=True)
+    grid = (B_ // wb,)
+    g = g if g.dtype == compute else g.astype(jnp.float32)
+    b2 = b.reshape(1, 3 * C)
+    wT = w.transpose(1, 0)
+    args = [x, w, wT, b2, scalep, biasp] + ([maskp] if has_mask else []) + \
+        [hm, blockC, segsum, segexp, g]
+    args = _align_vma(*args)
+    vma = _vma_union(*args)
+    if has_mask:
+        def kernel(xr, wr, wtr, br, sc, bp, m, *rest):
+            _pkx_bwd_body(xr, wr, wtr, br, sc, bp, m, *rest, num_heads, hg,
+                          compute)
+    else:
+        def kernel(xr, wr, wtr, br, sc, bp, *rest):
+            _pkx_bwd_body(xr, wr, wtr, br, sc, bp, None, *rest, num_heads,
+                          hg, compute)
+    in_specs = _pkx_specs(wb, N, C, num_heads, hg, has_mask, n_win_per_img)
+    in_specs.insert(2, pl.BlockSpec((3 * C, C), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM))  # wT
+    in_specs.append(pl.BlockSpec((hg, gN), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))     # segexp
+    in_specs.append(pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))     # g
+    dx, dw, db2, dscalep, dbiasp = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, 1, gN), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, N, gN), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B_, N, C), compute, vma=vma),
+            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((ng, 1, gN), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((ng, N, gN), jnp.float32, vma=vma),
+        ],
+        compiler_params=_ATTN_COMPILER_PARAMS,
+        interpret=interpret,
+    )(*args)
+
+    dscale = jnp.sum(dscalep.reshape(num_heads, N), axis=1)
+    dbias = dbiasp.reshape(ng, N, hg, N).transpose(0, 2, 1, 3).reshape(
+        num_heads, N, N)
+    dw = _match_cotangent_vma(dw, w)
+    db = _match_cotangent_vma(db2.reshape(3 * C), b)
+    dscale = _match_cotangent_vma(dscale, scale)
+    dbias = _match_cotangent_vma(dbias, bias16)
+    dmask = jnp.zeros_like(mask) if has_mask else None
+    return (dx, dw, db, dscale, dbias, dmask)
+
+
+fused_window_attention_packed_qkv.defvjp(_pkx_fwd_rule, _pkx_bwd_rule)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6, 7))

@@ -124,6 +124,52 @@ def main() -> int:
         print(f"packed window-attn parity ok (C={C} h={h} shift={shift}: "
               f"out {o_err:.1e}, grad {g_err:.1e}/{g_mag:.1e})")
 
+    # 1b''. entry-fused packed kernel (qkv GEMM inside, the production
+    # default WindowAttention entry_fused=True) — real Mosaic lowering,
+    # fwd + grads wrt x/W/bias, bf16 out exactly as the model calls it
+    from fr_tpu.ops.fused_window_attn import fused_window_attention_packed_qkv
+
+    for (imgs, hw, ws, shift, C, h, dt, tol) in [
+            (8, 24, 6, 3, 128, 4, jnp.bfloat16, 3e-2),
+            (8, 12, 6, 0, 256, 8, jnp.bfloat16, 3e-2),
+            (8, 6, 3, 0, 512, 16, jnp.bfloat16, 4e-2)]:
+        nW = (hw // ws) ** 2
+        B_, N = imgs * nW, ws * ws
+        x_in = jnp.asarray(rng.standard_normal((B_, N, C)), dt)
+        wq = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.1, jnp.float32)
+        bq = jnp.asarray(rng.standard_normal(3 * C) * 0.1, jnp.float32)
+        scale = jnp.asarray(np.abs(rng.standard_normal(h)) + 1, jnp.float32)
+        bias16 = jnp.asarray(rng.standard_normal((h, N, N)), jnp.float32)
+        mask = (jnp.asarray(shifted_window_mask(hw, hw, ws, shift))
+                if shift else None)
+
+        def chain(xi, wi, bi):
+            qkv32 = jax.lax.dot_general(
+                xi, wi.astype(dt), (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            qkv = (qkv32 + bi.astype(jnp.float32)).astype(dt)
+            return _heads_fwd(qkv, scale, bias16, mask, h, dt).sum()
+
+        fk = jax.jit(jax.value_and_grad(
+            lambda xi, wi, bi: fused_window_attention_packed_qkv(
+                xi, wi, bi, scale, bias16, h, nW, mask, 1024, False, dt)
+            .astype(jnp.float32).sum(), argnums=(0, 1, 2)))
+        fr = jax.jit(jax.value_and_grad(chain, argnums=(0, 1, 2)))
+        ok, gk = fk(x_in, wq, bq)
+        orf, gr = fr(x_in, wq, bq)
+        o_err = abs(float(ok) - float(orf)) / max(abs(float(orf)), 1.0)
+        errs = []
+        for a, b_ in zip(gk, gr):
+            e = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                      - b_.astype(jnp.float32))))
+            m = float(jnp.max(jnp.abs(b_.astype(jnp.float32))))
+            errs.append((e, m))
+            assert e < tol * max(m, 1.0), (C, h, shift, e, m)
+        assert o_err < tol, (C, h, shift, o_err)
+        print(f"entry-fused window-attn parity ok (C={C} h={h} "
+              f"shift={shift}: out {o_err:.1e}, dx {errs[0][0]:.1e}, "
+              f"dW {errs[1][0]:.1e}, db {errs[2][0]:.1e})")
+
     # 1c. spatial fused kernel (windowing inside the kernel) vs the
     # partition → windows-math → reverse composition — real lowering
     from fr_tpu.models.swin_common import window_partition, window_reverse

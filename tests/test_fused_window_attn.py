@@ -358,3 +358,126 @@ def test_module_fused_vs_unfused(shift):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3 * max(float(jnp.abs(b).max()),
                                                    1.0))
+
+
+XW_CASES = [
+    # (B_, N, C, heads, nW, hg, masked, dtype, tol) — entry-fused kernel
+    # (qkv GEMM inside): the three AlterNet-like full-pack shapes plus a
+    # grouped (ng>1) case exercising the group-sliced dqkv reassembly.
+    (32, 36, 128, 4, 16, 4, True, jnp.float32, 5e-5),
+    (16, 9, 512, 16, 4, 16, False, jnp.bfloat16, 4e-2),
+    (8, 36, 96, 4, 4, 2, True, jnp.float32, 5e-5),   # hd=24, grouped
+]
+
+
+def _ref_chain(x, w, b, scale, bias16, mask, h):
+    """qkv projection exactly as the kernel does it (f32 MXU accumulation,
+    f32 bias add, cast to compute) feeding the unfused oracle."""
+    dt = x.dtype
+    qkv32 = jax.lax.dot_general(x, w.astype(dt), (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    qkv = (qkv32 + b.astype(jnp.float32)).astype(dt)
+    return _ref_attn(qkv, scale, bias16, mask, h)
+
+
+@pytest.mark.parametrize("B_,N,C,h,nW,hg,masked,dt,tol", XW_CASES)
+def test_entry_fused_interpret_matches_chain(B_, N, C, h, nW, hg, masked,
+                                             dt, tol):
+    """The entry-fused packed kernel's REAL program (in-kernel qkv GEMM,
+    dx/dW/dbias chain, grid-step accumulation) under the Pallas
+    interpreter vs the qkv-projection + unfused-attention chain."""
+    from fr_tpu.ops.fused_window_attn import fused_window_attention_packed_qkv
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((B_, N, C)), dt)
+    w = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(3 * C) * 0.1, jnp.float32)
+    scale = jnp.asarray(np.abs(rng.standard_normal(h)) + 1.0, jnp.float32)
+    bias16 = jnp.asarray(rng.standard_normal((h, N, N)), jnp.float32)
+    mask = (jnp.asarray(np.where(rng.random((nW, N, N)) > 0.8, -100.0, 0.0),
+                        jnp.float32) if masked else None)
+
+    out_f = fused_window_attention_packed_qkv(
+        x, w, b, scale, bias16, h, nW, mask, 1024, True, None, hg)
+    out_r = _ref_chain(x, w, b, scale, bias16, mask, h)
+    mag = float(jnp.abs(out_r).max())
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               atol=tol * max(mag, 1.0))
+
+    f = lambda *a: fused_window_attention_packed_qkv(  # noqa: E731
+        *a, h, nW, mask, 1024, True, None, hg).sum()
+    r = lambda *a: _ref_chain(*a, mask, h).sum()  # noqa: E731
+    gf = jax.grad(f, argnums=(0, 1, 2, 3, 4))(x, w, b, scale, bias16)
+    gr = jax.grad(r, argnums=(0, 1, 2, 3, 4))(x, w, b, scale, bias16)
+    for name, a, bb in zip(("dx", "dw", "db", "dscale", "dbias16"), gf, gr):
+        m = float(jnp.abs(bb.astype(jnp.float32)).max())
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            atol=tol * max(m, 1.0), err_msg=name)
+
+
+def test_entry_fused_out_dtype_and_fallback():
+    """out_dtype honoured by the interpret program AND the off-TPU jnp
+    fallback (interpret=False on CPU) returns the same values."""
+    from fr_tpu.ops.fused_window_attn import fused_window_attention_packed_qkv
+
+    B_, N, C, h, nW = 16, 36, 128, 4, 4
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((B_, N, C)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(3 * C) * 0.1, jnp.float32)
+    scale = jnp.asarray(np.abs(rng.standard_normal(h)) + 1.0, jnp.float32)
+    bias16 = jnp.asarray(rng.standard_normal((h, N, N)), jnp.float32)
+
+    out_k = fused_window_attention_packed_qkv(
+        x, w, b, scale, bias16, h, nW, None, 1024, True, jnp.bfloat16)
+    assert out_k.dtype == jnp.bfloat16
+    out_t = fused_window_attention_packed_qkv(
+        x, w, b, scale, bias16, h, nW, None, 1024, False, jnp.bfloat16)
+    assert out_t.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out_k, np.float32),
+                               np.asarray(out_t, np.float32), atol=3e-2)
+
+
+def test_pk_block_pick_qkv_fused_term():
+    """The entry-fused picker must model the in-register qkv/dqkv buffers
+    (N·3C·8 bytes/window on top of the repeat buffers)."""
+    from fr_tpu.ops.fused_window_attn import _pk_pick_block
+
+    for (Wn, N, nW, C, h) in [(2048, 36, 16, 128, 4),
+                              (512, 36, 4, 256, 8),
+                              (512, 9, 4, 512, 16)]:
+        wb_f = _pk_pick_block(Wn, N, nW, C, h, 1024, hg=h, qkv_fused=True)
+        wb_0 = _pk_pick_block(Wn, N, nW, C, h, 1024, hg=h)
+        assert wb_f <= wb_0 and wb_f >= nW and Wn % wb_f == 0
+        per_win = h * N * C * 8 + N * 3 * C * 8
+        assert per_win * wb_f <= 10 * 1024 * 1024 or wb_f == nW
+
+
+def test_entry_fused_allkernel_bwd_interpret(monkeypatch):
+    """The all-in-kernel backward (dx/dW/dbias inside the kernel, grid-step
+    accumulation) is kept behind _PKX_HYBRID_BWD=False as a measured
+    negative — keep its real program covered under the interpreter."""
+    import fr_tpu.ops.fused_window_attn as fwa
+
+    monkeypatch.setattr(fwa, "_PKX_HYBRID_BWD", False)
+    B_, N, C, h, nW = 32, 36, 128, 4, 16
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((B_, N, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(3 * C) * 0.1, jnp.float32)
+    scale = jnp.asarray(np.abs(rng.standard_normal(h)) + 1.0, jnp.float32)
+    bias16 = jnp.asarray(rng.standard_normal((h, N, N)), jnp.float32)
+    mask = jnp.asarray(np.where(rng.random((nW, N, N)) > 0.8, -100.0, 0.0),
+                       jnp.float32)
+
+    f = lambda *a: fwa.fused_window_attention_packed_qkv(  # noqa: E731
+        *a, h, nW, mask, 1024, True).sum()
+    r = lambda *a: _ref_chain(*a, mask, h).sum()  # noqa: E731
+    gf = jax.grad(f, argnums=(0, 1, 2, 3, 4))(x, w, b, scale, bias16)
+    gr = jax.grad(r, argnums=(0, 1, 2, 3, 4))(x, w, b, scale, bias16)
+    for name, a, bb in zip(("dx", "dw", "db", "dscale", "dbias16"), gf, gr):
+        m = float(jnp.abs(bb).max())
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            atol=5e-5 * max(m, 1.0), err_msg=name)
