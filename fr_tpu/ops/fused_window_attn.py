@@ -740,6 +740,45 @@ def _fold_heads(x_full, hm, num_heads, N):
     return acc
 
 
+def _pk_bwd_one_group(q, k, v, scalep, biasp, mask, hm, hm_c,
+                      blockC, segsum, segexp, gc, hg, compute):
+    """Backward math for ONE head group on channel-sliced VALUES: q/k/v/gc
+    (W, N, Cg) → (dq, dk, dv f32 (W, N, Cg), dbias_p (N, gN),
+    dscale_p (1, gN)). Shared between the unrolled group loop, the
+    grid-axis grouped kernel and the entry-fused body."""
+    (qn32, rq, aq, kn32, rk, ak, qn, _, krep, vrep, s_cos, e, denom) = \
+        _pk_recompute(q, k, v, scalep, biasp, mask, hm_c,
+                      blockC, segsum, hg, compute)
+    N = q.shape[1]
+    invexp = _nobatch(1.0 / denom, segexp)            # (W, N, gN)
+    p = e * invexp
+    gcc = gc.astype(compute)
+    dp = lax.dot_general(gcc, vrep, (((2,), (2,)), ((0,), (0,))),
+                         preferred_element_type=jnp.float32)
+    pc = p.astype(compute)
+    dvfull = lax.dot_general(pc, gcc, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dv = _fold_heads(dvfull, hm, hg, N)
+    # softmax VJP, segmented per (row, head)
+    rowsum = _nobatch(p * dp, segsum)                 # (W, N, hg)
+    rowexp = _nobatch(rowsum, segexp)                 # (W, N, gN)
+    ds = p * (dp - rowexp)
+    dbias_p = jnp.sum(ds, axis=0)
+    dscale_p = jnp.sum(jnp.sum(ds * s_cos, axis=0), axis=0, keepdims=True)
+    dsc = (ds * scalep[None]).astype(compute)
+    dqn = lax.dot_general(dsc, krep, (((2,), (1,)), ((0,), (0,))),
+                          preferred_element_type=jnp.float32)
+    dknfull = lax.dot_general(dsc, qn, (((1,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    dkn = _fold_heads(dknfull, hm, hg, N)
+    # l2-norm VJP, per-head segments expanded via blockC
+    rd_q = _nobatch(dqn * qn32, blockC)
+    rd_k = _nobatch(dkn * kn32, blockC)
+    dq = rq * (dqn - jnp.where(aq, qn32 * rd_q, 0.0))
+    dk = rk * (dkn - jnp.where(ak, kn32 * rd_k, 0.0))
+    return dq, dk, dv, dbias_p, dscale_p
+
+
 def _pk_bwd_groups(qkv, scalep_ref, biasp_ref, mask, hm_ref,
                    blockC_ref, segsum_ref, segexp_ref, g,
                    dscalep_ref, dbiasp_ref, store, num_heads, hg, compute):
@@ -755,39 +794,14 @@ def _pk_bwd_groups(qkv, scalep_ref, biasp_ref, mask, hm_ref,
     hm_c = hm.astype(compute)
     for gi in range(ng):
         o = gi * Cg
-        scalep = scalep_ref[gi]                       # (1, gN)
-        (qn32, rq, aq, kn32, rk, ak, qn, _, krep, vrep, s_cos, e, denom) = \
-            _pk_recompute(qkv[:, :, o:o + Cg], qkv[:, :, C + o:C + o + Cg],
-                          qkv[:, :, 2 * C + o:2 * C + o + Cg],
-                          scalep, biasp_ref[gi], mask, hm_c,
-                          blockC_ref[:], segsum_ref[:], hg, compute)
-        invexp = _nobatch(1.0 / denom, segexp_ref[:])     # (W, N, gN)
-        p = e * invexp
-        gc = g[:, :, o:o + Cg].astype(compute)
-        dp = lax.dot_general(gc, vrep, (((2,), (2,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
-        pc = p.astype(compute)
-        dvfull = lax.dot_general(pc, gc, (((1,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
-        dv = _fold_heads(dvfull, hm, hg, N)
-        # softmax VJP, segmented per (row, head)
-        rowsum = _nobatch(p * dp, segsum_ref[:])          # (W, N, hg)
-        rowexp = _nobatch(rowsum, segexp_ref[:])          # (W, N, gN)
-        ds = p * (dp - rowexp)
-        dbiasp_ref[gi] += jnp.sum(ds, axis=0)
-        dscalep_ref[gi] += jnp.sum(jnp.sum(ds * s_cos, axis=0), axis=0,
-                                   keepdims=True)
-        dsc = (ds * scalep[None]).astype(compute)
-        dqn = lax.dot_general(dsc, krep, (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
-        dknfull = lax.dot_general(dsc, qn, (((1,), (1,)), ((0,), (0,))),
-                                  preferred_element_type=jnp.float32)
-        dkn = _fold_heads(dknfull, hm, hg, N)
-        # l2-norm VJP, per-head segments expanded via blockC
-        rd_q = _nobatch(dqn * qn32, blockC_ref[:])
-        rd_k = _nobatch(dkn * kn32, blockC_ref[:])
-        dq = rq * (dqn - jnp.where(aq, qn32 * rd_q, 0.0))
-        dk = rk * (dkn - jnp.where(ak, kn32 * rd_k, 0.0))
+        dq, dk, dv, dbias_p, dscale_p = _pk_bwd_one_group(
+            qkv[:, :, o:o + Cg], qkv[:, :, C + o:C + o + Cg],
+            qkv[:, :, 2 * C + o:2 * C + o + Cg],
+            scalep_ref[gi], biasp_ref[gi], mask, hm, hm_c,
+            blockC_ref[:], segsum_ref[:], segexp_ref[:],
+            g[:, :, o:o + Cg], hg, compute)
+        dbiasp_ref[gi] += dbias_p
+        dscalep_ref[gi] += dscale_p
         store(gi, o, Cg, dq, dk, dv)
 
 
@@ -828,6 +842,199 @@ def _pk_pack_params(scale, bias16, mask, num_heads, N, hg):
         ng, N, gN)
     maskp = None if mask is None else jnp.tile(mask, (1, 1, hg))
     return scalep, biasp, maskp
+
+
+# Grid-axis head grouping: ng = heads/hg > 1 with the GROUP as a grid
+# dimension instead of an unrolled in-body loop. The unrolled loop measured
+# a loss at every N=49 shape because Mosaic does not share scoped-VMEM
+# stack across the unrolled group bodies — every group's score tensors
+# accumulate on top of the repeat buffers, forcing tiny window blocks
+# (ROUND4_NOTES.md head-grouped table). With grid (nwb, ng) each program
+# holds ONE group's buffers and the pipeline overlaps groups:
+#   - q/k/v arrive as three dup-arg views of qkv with group-offset lane
+#     index maps, so total input traffic is qkv exactly once;
+#   - the dqkv output block covers all 3C lanes at (i, 0, 0) and is
+#     retained across the ng CONSECUTIVE group steps (group = fast axis),
+#     each step filling its own channel slices — no concat afterwards;
+#   - dscale/dbias come out as per-program partials (no cross-step
+#     accumulation ordering constraints) and are summed outside.
+# Requires Cg = C/ng to be lane-aligned (a multiple of 128) so the q/k/v
+# views are legal blocks.
+#
+# MEASURED (real v5e, scripts/attn_kernel_probe.py, ROUND4_NOTES.md): the
+# grid-axis variant fixes the VMEM stacking of the unrolled loop (parity
+# clean, relerr ≤ 7.5e-3) but still LOSES to both the per-head kernel and
+# the full pack at every N=49 shape — sw3 g4 1.52 vs per-head 0.77 ms
+# f+b, sw4 g4 0.83 vs 0.58 — the per-group head-repeat buffers price does
+# not amortise at hg·N < 288 lanes. It therefore never runs on a shipping
+# dispatch (pick_head_group returns full-pack or per-head only); it
+# replaces the unrolled loop whenever a caller explicitly requests an
+# aligned head_group, and stays as tested machinery for future shapes.
+_PK_GROUP_GRID = True
+
+
+def _pkg_fwd_body(q_ref, k_ref, v_ref, scalep_ref, biasp_ref, mask_ref,
+                  hm_ref, blockC_ref, segsum_ref, segC_ref, out_ref,
+                  hg, compute):
+    mask = mask_ref[:] if mask_ref is not None else None
+    hm_c = hm_ref[:].astype(compute)
+    (_, _, _, _, _, _, _, _, _, vrep, _, e, denom) = _pk_recompute(
+        q_ref[:], k_ref[:], v_ref[:], scalep_ref[0], biasp_ref[0], mask,
+        hm_c, blockC_ref[:], segsum_ref[:], hg, compute)
+    out = lax.dot_general(e.astype(compute), vrep,
+                          (((2,), (1,)), ((0,), (0,))),
+                          preferred_element_type=jnp.float32)
+    invC = _nobatch(1.0 / denom, segC_ref[:])
+    out_ref[:] = (out * invC).astype(out_ref.dtype)
+
+
+def _pkg_bwd_body(q_ref, k_ref, v_ref, scalep_ref, biasp_ref, mask_ref,
+                  hm_ref, blockC_ref, segsum_ref, segexp_ref, g_ref,
+                  dqkv_ref, dscalep_ref, dbiasp_ref, ng, hg, compute):
+    gi = pl.program_id(1)
+    mask = mask_ref[:] if mask_ref is not None else None
+    hm = hm_ref[:]
+    dq, dk, dv, dbias_p, dscale_p = _pk_bwd_one_group(
+        q_ref[:], k_ref[:], v_ref[:], scalep_ref[0], biasp_ref[0], mask,
+        hm, hm.astype(compute), blockC_ref[:], segsum_ref[:],
+        segexp_ref[:], g_ref[:], hg, compute)
+    dt = dqkv_ref.dtype
+    C = dqkv_ref.shape[2] // 3
+    Cg = C // ng
+    # static per-group channel offsets via predicated writes (ng is 2-4;
+    # dynamic lane-offset stores are not a Mosaic guarantee)
+    for t in range(ng):
+        @pl.when(gi == t)
+        def _(t=t):
+            o = t * Cg
+            dqkv_ref[:, :, o:o + Cg] = dq.astype(dt)
+            dqkv_ref[:, :, C + o:C + o + Cg] = dk.astype(dt)
+            dqkv_ref[:, :, 2 * C + o:2 * C + o + Cg] = dv.astype(dt)
+    dscalep_ref[0] = dscale_p
+    dbiasp_ref[0] = dbias_p
+
+
+def _pkg_specs(wb, N, C, ng, hg, has_mask, nW):
+    """in_specs for the grid-axis grouped kernels: grid (nwb, ng), q/k/v as
+    three group-sliced views of the (B_, N, 3C) qkv array."""
+    gN = hg * N
+    Cg = C // ng
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, gi: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    def qview(off):
+        return pl.BlockSpec((wb, N, Cg),
+                            lambda i, gi, off=off: (i, 0, off * ng + gi),
+                            memory_space=pltpu.VMEM)
+
+    specs = [
+        qview(0), qview(1), qview(2),
+        pl.BlockSpec((1, 1, gN), lambda i, gi: (gi, 0, 0),
+                     memory_space=pltpu.VMEM),       # scalep
+        pl.BlockSpec((1, N, gN), lambda i, gi: (gi, 0, 0),
+                     memory_space=pltpu.VMEM),       # biasp
+    ]
+    if has_mask:
+        specs.append(const((nW, N, gN)))
+    specs += [const((gN, Cg)), const((Cg, Cg)), const((gN, hg))]
+    return specs
+
+
+def _pkg_use(ng, Cg):
+    return _PK_GROUP_GRID and ng > 1 and Cg % 128 == 0
+
+
+def _pkg_fwd(qkv, scalep, biasp, maskp, num_heads, n_win_per_img,
+             block_rows, interpret, out_dtype, hg):
+    B_, N, C3 = qkv.shape
+    C = C3 // 3
+    ng = num_heads // hg
+    Cg = C // ng
+    compute = qkv.dtype
+    has_mask = maskp is not None
+    hm, blockC, segsum, _, segC = (jnp.asarray(a) for a in
+                                   _pk_constants(hg, N, Cg))
+    wb = _pk_pick_block(B_, N, n_win_per_img, Cg, hg,
+                        target_rows=block_rows, hg=hg)
+    grid = (B_ // wb, ng)
+    args = [qkv, qkv, qkv, scalep, biasp] + \
+        ([maskp] if has_mask else []) + [hm, blockC, segsum, segC]
+    args = _align_vma(*args)
+    vma = _vma_union(*args)
+    if has_mask:
+        def kernel(q, k, v, sc, b, m, *rest):
+            _pkg_fwd_body(q, k, v, sc, b, m, *rest, hg, compute)
+    else:
+        def kernel(q, k, v, sc, b, *rest):
+            _pkg_fwd_body(q, k, v, sc, b, None, *rest, hg, compute)
+    in_specs = _pkg_specs(wb, N, C, ng, hg, has_mask, n_win_per_img)
+    in_specs.append(pl.BlockSpec((hg, Cg), lambda i, gi: (0, 0),
+                                 memory_space=pltpu.VMEM))      # segC
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((wb, N, Cg), lambda i, gi: (i, 0, gi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_, N, C), out_dtype, vma=vma),
+        compiler_params=_ATTN_COMPILER_PARAMS,
+        interpret=interpret,
+    )(*args)
+
+
+def _pkg_bwd(qkv, scalep, biasp, maskp, g, num_heads, n_win_per_img,
+             block_rows, interpret, hg):
+    B_, N, C3 = qkv.shape
+    C = C3 // 3
+    ng = num_heads // hg
+    Cg = C // ng
+    gN = hg * N
+    compute = qkv.dtype
+    has_mask = maskp is not None
+    hm, blockC, segsum, segexp, _ = (jnp.asarray(a) for a in
+                                     _pk_constants(hg, N, Cg))
+    wb = _pk_pick_block(B_, N, n_win_per_img, Cg, hg,
+                        target_rows=block_rows, hg=hg)
+    nwb = B_ // wb
+    grid = (nwb, ng)
+    args = [qkv, qkv, qkv, scalep, biasp] + \
+        ([maskp] if has_mask else []) + [hm, blockC, segsum, segexp, g]
+    args = _align_vma(*args)
+    vma = _vma_union(*args)
+    if has_mask:
+        def kernel(q, k, v, sc, b, m, *rest):
+            _pkg_bwd_body(q, k, v, sc, b, m, *rest, ng, hg, compute)
+    else:
+        def kernel(q, k, v, sc, b, *rest):
+            _pkg_bwd_body(q, k, v, sc, b, None, *rest, ng, hg, compute)
+    in_specs = _pkg_specs(wb, N, C, ng, hg, has_mask, n_win_per_img)
+    in_specs.append(pl.BlockSpec((hg, gN), lambda i, gi: (0, 0),
+                                 memory_space=pltpu.VMEM))      # segexp
+    in_specs.append(pl.BlockSpec((wb, N, Cg), lambda i, gi: (i, 0, gi),
+                                 memory_space=pltpu.VMEM))      # g
+    dqkv, dscale_parts, dbias_parts = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((wb, N, C3), lambda i, gi: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, gN), lambda i, gi: (i * ng + gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, gN), lambda i, gi: (i * ng + gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B_, N, C3), compute, vma=vma),
+            jax.ShapeDtypeStruct((nwb * ng, 1, gN), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((nwb * ng, N, gN), jnp.float32, vma=vma),
+        ],
+        compiler_params=_ATTN_COMPILER_PARAMS,
+        interpret=interpret,
+    )(*args)
+    dscalep = jnp.sum(dscale_parts.reshape(nwb, ng, 1, gN), axis=0)
+    dbiasp = jnp.sum(dbias_parts.reshape(nwb, ng, N, gN), axis=0)
+    return dqkv, dscalep, dbiasp
 
 
 def _pk_specs(wb, N, C3, num_heads, hg, has_mask, nW):
@@ -891,10 +1098,13 @@ def _pk_fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask, block_rows,
                           compute).astype(out_dtype)
     has_mask = mask is not None
     Cg = C * hg // num_heads
-    hm, blockC, segsum, _, segC = (jnp.asarray(a) for a in
-                                   _pk_constants(hg, N, Cg))
     scalep, biasp, maskp = _pk_pack_params(scale, bias16, mask, num_heads,
                                            N, hg)
+    if _pkg_use(num_heads // hg, Cg):
+        return _pkg_fwd(qkv, scalep, biasp, maskp, num_heads, n_win_per_img,
+                        block_rows, interpret, out_dtype, hg)
+    hm, blockC, segsum, _, segC = (jnp.asarray(a) for a in
+                                   _pk_constants(hg, N, Cg))
     wb = _pk_pick_block(B_, N, n_win_per_img, C, num_heads,
                         target_rows=block_rows, hg=hg)
     grid = (B_ // wb,)
@@ -951,14 +1161,25 @@ def _pk_bwd_rule(num_heads, n_win_per_img, block_rows, interpret, out_dtype,
                 jnp.zeros_like(mask) if has_mask else None)
 
     Cg = C // ng
-    hm, blockC, segsum, segexp, _ = (jnp.asarray(a) for a in
-                                     _pk_constants(hg, N, Cg))
     scalep, biasp, maskp = _pk_pack_params(scale, bias16, mask, num_heads,
                                            N, hg)
+    g = g if g.dtype == compute else g.astype(jnp.float32)
+    if _pkg_use(ng, Cg):
+        dqkv, dscalep, dbiasp = _pkg_bwd(
+            qkv, scalep, biasp, maskp, g, num_heads, n_win_per_img,
+            block_rows, interpret, hg)
+        dscale = jnp.sum(dscalep.reshape(num_heads, N), axis=1)
+        dbias = dbiasp.reshape(ng, N, hg, N).transpose(0, 2, 1, 3).reshape(
+            num_heads, N, N)
+        dscale = _match_cotangent_vma(dscale, scale)
+        dbias = _match_cotangent_vma(dbias, bias16)
+        return (dqkv, dscale, dbias,
+                jnp.zeros_like(mask) if has_mask else None)
+    hm, blockC, segsum, segexp, _ = (jnp.asarray(a) for a in
+                                     _pk_constants(hg, N, Cg))
     wb = _pk_pick_block(B_, N, n_win_per_img, C, num_heads,
                         target_rows=block_rows, hg=hg)
     grid = (B_ // wb,)
-    g = g if g.dtype == compute else g.astype(jnp.float32)
     args = [qkv, scalep, biasp] + ([maskp] if has_mask else []) + \
         [hm, blockC, segsum, segexp, g]
     args = _align_vma(*args)

@@ -146,8 +146,9 @@ GROUPED_CASES = [
     # packed kernel (ng = heads/hg channel-sliced group loop): sw4-like
     # winning shape (hg = heads/2 → 392 lanes), plus a masked f32 case and
     # a non-aligned hd=12 case to exercise the fold/unpack on odd widths.
-    (4, 49, 512, 16, 1, 8, False, jnp.bfloat16, 3e-2),
-    (8, 49, 128, 8, 4, 4, True, jnp.float32, 5e-5),
+    (4, 49, 512, 16, 1, 8, False, jnp.bfloat16, 3e-2),   # Cg=256: grid path
+    (8, 49, 256, 8, 4, 4, True, jnp.float32, 5e-5),      # Cg=128: grid, mask
+    (8, 49, 128, 8, 4, 4, True, jnp.float32, 5e-5),      # Cg=64: unrolled
     (8, 36, 96, 4, 4, 2, True, jnp.float32, 5e-5),  # hd=24, Cg=48
 ]
 
