@@ -37,7 +37,12 @@ from fr_tpu.ops import fused_window_attn as fwa  # noqa: E402
 HBM_GBPS = 800.0  # v5e ~819 GB/s
 
 
-def bench(fn, args, iters=24):
+def bench(fn, args, iters=None):
+    if iters is None:
+        # host-side wall clock over the tunnel jitters by ~10 ms per fetch;
+        # per-iteration noise = jitter/iters, so 96+ iterations are needed
+        # to resolve 0.1 ms differences between kernel variants
+        iters = int(os.environ.get("ATTN_PROBE_ITERS", "96"))
     """Per-call ms via an in-jit lax.scan, differenced between 2N and N
     iterations so compile/dispatch cost cancels, with a VALUE FETCH to
     synchronise (axon's block_until_ready returns early — verify skill
@@ -46,15 +51,25 @@ def bench(fn, args, iters=24):
 
     The scan body threads a data dependency through bias16 (adding a
     carried f32 that stays exactly 0.0) so XLA cannot hoist the op out of
-    the loop; numerics are bit-identical to a direct call."""
+    the loop; numerics are bit-identical to a direct call.
+
+    EVERY leaf of fn's output feeds the carry. This matters: folding only
+    the first leaf let XLA dead-code-eliminate the rest of the program —
+    for grad-only timings the primal output was unused, so the FORWARD
+    kernel was eliminated and every 'fwd+bwd' number in the round-4 tables
+    before this fix measured the backward custom-call alone (confirmed
+    against the in-model trace: Swin50 in-model fwd 0.52/bwd 0.99 ms vs
+    probe fwd 0.51 / 'f+b' 0.97). Timing value_and_grad with all leaves
+    consumed is the model-relevant fwd+bwd metric."""
 
     def scan_n(n):
         @jax.jit
         def run(qkv, scale, bias16):
             def body(c, _):
                 out = fn(qkv, scale, bias16 + c)
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                c2 = c + 1e-30 * leaf.ravel()[0].astype(jnp.float32)
+                c2 = c
+                for leaf in jax.tree_util.tree_leaves(out):
+                    c2 = c2 + 1e-30 * leaf.ravel()[0].astype(jnp.float32)
                 return c2, ()
             c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
             return c
@@ -64,7 +79,7 @@ def bench(fn, args, iters=24):
     float(f1(*args))
     float(f2(*args))
     best = float("inf")
-    for _ in range(3):
+    for _ in range(int(os.environ.get("ATTN_PROBE_REPS", "5"))):
         t0 = time.perf_counter()
         float(f1(*args))
         t1 = time.perf_counter()
@@ -110,6 +125,13 @@ def _call_v2(q, sc, b, m, heads, nW, block_rows):
                                              block_rows)
 
 
+def _call_v2b(q, sc, b, m, heads, nW, block_rows):
+    # bf16 pre-proj output + bf16 incoming cotangent (model-path setting)
+    return fwa.fused_window_attention_packed(
+        q, sc, b, heads, nW, m, block_rows,
+        out_dtype=jnp.bfloat16).astype(jnp.float32)
+
+
 def _call_v2g(q, sc, b, m, heads, nW, block_rows, hg):
     return fwa.fused_window_attention_packed(q, sc, b, heads, nW, m,
                                              block_rows, False, None, hg)
@@ -144,6 +166,9 @@ def run_shape(name, masked, parity=False, timing=True):
         if hasattr(fwa, "fused_window_attention_packed"):
             variants[f"v2 br={br}"] = functools.partial(
                 _call_v2, heads=heads, nW=nW, block_rows=br)
+            if os.environ.get("ATTN_PROBE_V1BF16"):
+                variants[f"v2b br={br}"] = functools.partial(
+                    _call_v2b, heads=heads, nW=nW, block_rows=br)
             for hg in [int(h) for h in os.environ.get(
                     "ATTN_PROBE_GROUPS", "").split(",") if h]:
                 if hg < heads and heads % hg == 0:
@@ -191,7 +216,9 @@ def run_shape(name, masked, parity=False, timing=True):
         def gr(q, sc, b, f=f):
             def loss(q, sc, b):
                 return jnp.sum(f(q, sc, b, mask) * g)
-            return jax.grad(loss, argnums=(0, 1, 2))(q, sc, b)
+            # value_and_grad, primal consumed by bench's carry — grad-only
+            # lets XLA eliminate the forward kernel (see bench docstring)
+            return jax.value_and_grad(loss, argnums=(0, 1, 2))(q, sc, b)
         t_b = bench(gr, (qkv, scale, bias16))
         print(f"{tag:8s} {vname:14s} fwd {t_f:7.3f} ms ({t_f/ffwd:5.1f}x floor)"
               f"   fwd+bwd {t_b:7.3f} ms ({t_b/(ffwd+fbwd):5.1f}x floor)"

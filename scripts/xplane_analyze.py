@@ -15,24 +15,33 @@ import jax
 
 
 def classify(name: str) -> str:
-    n = name.lower()
-    if "convolution" in n or re.search(r"\bconv", n):
+    """Classify by the op's OWN name (the `%name = ...` head), never by
+    substring over the full HLO text — operand lists mention other ops'
+    names (e.g. `%copy-done` arguments), which previously binned every
+    Pallas attention custom-call under copy/layout and every fusion with a
+    conv operand under conv."""
+    head = name.split(" = ")[0].lstrip("%").lower()
+    if "_fused_call" in head or "pallas" in head:
+        return "pallas-kernel"
+    base = re.split(r"[.\d]", head)[0].rstrip("_-")
+    if base.startswith("convolution") or base.startswith("conv"):
         return "conv"
-    if "fusion" in n:
+    if base.endswith("fusion") or base == "fusion":
         return "fusion"
-    if "copy" in n or "bitcast" in n or "transpose" in n or "reshape" in n:
+    if base in ("copy", "copy-start", "copy-done", "bitcast", "transpose",
+                "reshape"):
         return "copy/layout"
-    if "dot" in n or "matmul" in n:
-        return "dot"
-    if "reduce" in n:
+    if base in ("dot", "matmul", "cublas", "custom-call"):
+        return "dot/custom"
+    if base.startswith("reduce"):
         return "reduce"
-    if "select-and-scatter" in n:
+    if base == "select-and-scatter":
         return "maxpool-bwd"
-    if "scatter" in n or "gather" in n or "sort" in n or "top" in n:
+    if base in ("scatter", "gather", "sort", "topk", "top-k"):
         return "gather/scatter/sort"
-    if "slice" in n or "dynamic-update" in n:
+    if base.startswith("slice") or base.startswith("dynamic"):
         return "slice/dus"
-    if "all-reduce" in n or "all-gather" in n or "collective" in n:
+    if base.startswith("all-") or base.startswith("collective"):
         return "collective"
     return "other"
 
