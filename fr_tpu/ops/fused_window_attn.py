@@ -33,6 +33,7 @@ the kernels run in interpret mode so CPU meshes exercise identical code.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -270,6 +271,219 @@ def _specs(n_blocks, wb, N, C3, num_heads, has_mask, nW):
         in_specs.append(pl.BlockSpec((nW, N, N), lambda i: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
     return in_specs
+
+
+# ---------------------------------------------------------------------------
+# Stored-stats variant of the per-head VJP (round 4): the forward saves the
+# per-head softmax probabilities so the backward skips the score dot,
+# bias/mask adds and softmax recompute. Flash-attention-style recompute
+# exists because p is O(N^2) per token pair at long N — here N is 9-49, so p
+# costs only W*N*N*4 bytes (sw3: 4.8 MB, sw4: 1.2 MB; write-in-fwd +
+# read-in-bwd ~ tens of us at HBM rate) while the recompute it replaces is
+# MXU + transcendental work on 128-lane-padded tiles. The l2 norms stay
+# recomputed (pure VPU, cheaper than round-tripping qn/kn). s_raw is stored
+# alongside p (same shape/cost) because dscale_h = sum(ds . s_raw) needs the
+# pre-scale cosine scores, and recovering them from p would need the
+# bias/mask adds plus a log — more work than the read.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_body_stats(qkv_ref, scale_ref, bias_ref, mask_ref, out_ref,
+                    p_ref, sraw_ref, num_heads, compute):
+    """_fwd_body plus per-head stat stores: the p_ref/sraw_ref blocks are
+    (num_heads, wb, N, N) f32, head-indexed so each store is contiguous."""
+    qkv = qkv_ref[:]
+    W, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // num_heads
+    scale = scale_ref[0]
+    bias16 = bias_ref[:]
+    mask = mask_ref[:] if mask_ref is not None else None
+    for h in range(num_heads):
+        o = h * hd
+        qh = qkv[:, :, o:o + hd].astype(jnp.float32)
+        kh = qkv[:, :, C + o:C + o + hd].astype(jnp.float32)
+        vh = qkv[:, :, 2 * C + o:2 * C + o + hd]
+        qn, _, _ = _norm(qh)
+        kn, _, _ = _norm(kh)
+        s_raw = lax.dot_general(qn.astype(compute), kn.astype(compute),
+                                (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s_raw * scale[h] + bias16[h][None]
+        if mask is not None:
+            nW = mask.shape[0]
+            s = (s.reshape(W // nW, nW, N, N) + mask[None]).reshape(W, N, N)
+        p = jax.nn.softmax(s, axis=-1)
+        p_ref[h] = p
+        sraw_ref[h] = s_raw
+        out_ref[:, :, o:o + hd] = lax.dot_general(
+            p.astype(compute), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _bwd_body_stats(qkv_ref, scale_ref, p_ref, sraw_ref, g_ref,
+                    dqkv_ref, dscale_ref, dbias_ref, num_heads, compute):
+    """Exact VJP from stored p/s_raw — no score recompute. bias16 and mask
+    are not needed at all: dbias = sum(ds) and the mask only shifted s."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dscale_ref[:] = jnp.zeros_like(dscale_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    qkv = qkv_ref[:]
+    W, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // num_heads
+    scale = scale_ref[0]
+    g = g_ref[:]
+
+    dscales = []
+    for h in range(num_heads):
+        o = h * hd
+        qh = qkv[:, :, o:o + hd].astype(jnp.float32)
+        kh = qkv[:, :, C + o:C + o + hd].astype(jnp.float32)
+        vh = qkv[:, :, 2 * C + o:2 * C + o + hd]
+        qn, qr, qa = _norm(qh)
+        kn, kr, ka = _norm(kh)
+        p = p_ref[h]
+        s_raw = sraw_ref[h]
+        pc = p.astype(compute)
+        g_h = g[:, :, o:o + hd]
+        dp = lax.dot_general(g_h.astype(compute), vh,
+                             (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+        dv = lax.dot_general(pc, g_h.astype(compute),
+                             (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_ref[h] += jnp.sum(ds, axis=0)
+        dscales.append(jnp.sum(ds * s_raw))
+        dsc = (ds * scale[h]).astype(compute)
+        dqn = lax.dot_general(dsc, kn.astype(compute),
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+        dkn = lax.dot_general(dsc, qn.astype(compute),
+                              (((1,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+        dq = qr * (dqn - jnp.where(
+            qa, qn * jnp.sum(dqn * qn, axis=-1, keepdims=True), 0.0))
+        dk = kr * (dkn - jnp.where(
+            ka, kn * jnp.sum(dkn * kn, axis=-1, keepdims=True), 0.0))
+        dt = dqkv_ref.dtype
+        dqkv_ref[:, :, o:o + hd] = dq.astype(dt)
+        dqkv_ref[:, :, C + o:C + o + hd] = dk.astype(dt)
+        dqkv_ref[:, :, 2 * C + o:2 * C + o + hd] = dv.astype(dt)
+
+    dscale_ref[:] += jnp.stack(dscales).reshape(1, num_heads)
+
+
+def _stat_spec(num_heads, wb, N):
+    return pl.BlockSpec((num_heads, wb, N, N), lambda i: (0, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_stats(qkv, scale, bias16, num_heads, n_win_per_img, mask,
+               block_rows, out_dtype, interpret=None):
+    """Forward emitting (out, p_stats, sraw_stats); stats are f32
+    (num_heads, B_, N, N). Only used under differentiation — the primal
+    path keeps the stat-free kernel."""
+    B_, N, C3 = qkv.shape
+    C = C3 // 3
+    compute = qkv.dtype
+    out_dtype = out_dtype or jnp.float32
+    has_mask = mask is not None
+    if interpret is None:
+        interpret = _interpret()
+
+    wb = _pick_block(B_, N, n_win_per_img, target_rows=block_rows)
+    grid = (B_ // wb,)
+
+    args = [qkv, jnp.reshape(scale, (1, num_heads)), bias16]
+    if has_mask:
+        args.append(mask)
+    args = _align_vma(*args)
+    vma = _vma_union(*args)
+
+    if has_mask:
+        def kernel(q, s, b, m, o, p, sr):
+            _fwd_body_stats(q, s, b, m, o, p, sr, num_heads, compute)
+    else:
+        def kernel(q, s, b, o, p, sr):
+            _fwd_body_stats(q, s, b, None, o, p, sr, num_heads, compute)
+    out, p_st, sraw_st = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=_specs(grid[0], wb, N, C3, num_heads, has_mask,
+                        n_win_per_img),
+        out_specs=[
+            pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _stat_spec(num_heads, wb, N),
+            _stat_spec(num_heads, wb, N),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B_, N, C), out_dtype, vma=vma),
+            jax.ShapeDtypeStruct((num_heads, B_, N, N), jnp.float32,
+                                 vma=vma),
+            jax.ShapeDtypeStruct((num_heads, B_, N, N), jnp.float32,
+                                 vma=vma),
+        ],
+        compiler_params=_ATTN_COMPILER_PARAMS,
+        interpret=interpret,
+    )(*args)
+    return out, p_st, sraw_st
+
+
+def _bwd_stats(qkv, scale, p_st, sraw_st, g, num_heads, n_win_per_img,
+               block_rows, interpret=None):
+    B_, N, C3 = qkv.shape
+    compute = qkv.dtype
+    if interpret is None:
+        interpret = _interpret()
+
+    wb = _pick_block(B_, N, n_win_per_img, target_rows=block_rows)
+    grid = (B_ // wb,)
+
+    args = _align_vma(qkv, jnp.reshape(scale, (1, num_heads)), p_st,
+                      sraw_st, g)
+    vma = _vma_union(*args)
+
+    def kernel(q, s, p, sr, gg, dq, dsc, db):
+        _bwd_body_stats(q, s, p, sr, gg, dq, dsc, db, num_heads, compute)
+
+    in_specs = [
+        pl.BlockSpec((wb, N, C3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, num_heads), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        _stat_spec(num_heads, wb, N),
+        _stat_spec(num_heads, wb, N),
+        pl.BlockSpec((wb, N, C3 // 3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dqkv, dscale, dbias = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((wb, N, C3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, N, N), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B_, N, C3), compute, vma=vma),
+            jax.ShapeDtypeStruct((1, num_heads), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((num_heads, N, N), jnp.float32, vma=vma),
+        ],
+        compiler_params=_ATTN_COMPILER_PARAMS,
+        interpret=interpret,
+    )(*args)
+    return dqkv, dscale, dbias
 
 
 # ---------------------------------------------------------------------------
@@ -1549,21 +1763,26 @@ def _pkx_bwd_rule(num_heads, n_win_per_img, block_rows, interpret, out_dtype,
 fused_window_attention_packed_qkv.defvjp(_pkx_fwd_rule, _pkx_bwd_rule)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6, 7, 8))
 def fused_window_attention(qkv: jnp.ndarray, scale: jnp.ndarray,
                            bias16: jnp.ndarray,
                            num_heads: int,
                            n_win_per_img: int,
                            mask: Optional[jnp.ndarray] = None,
                            block_rows: int = 1024,
-                           out_dtype=None) -> jnp.ndarray:
+                           out_dtype=None,
+                           stored_stats: bool = True) -> jnp.ndarray:
     """qkv (B_, N, 3C) compute-dtype; scale (heads,) f32 (already
     exp-clamped); bias16 (heads, N, N) f32 (already 16·sigmoid(CPB));
     mask (nW, N, N) f32 additive or None; block_rows: see _pick_block.
     Returns (B_, N, C). out_dtype (default f32) lets the caller take the
     pre-proj activations in compute dtype — halves the output AND incoming-
     cotangent HBM traffic when the consumer (the proj GEMM) reads bf16
-    anyway (VERDICT r3 next #2, same plumbing as the packed kernel)."""
+    anyway (VERDICT r3 next #2, same plumbing as the packed kernel).
+    stored_stats: under differentiation, save per-head softmax stats in
+    the forward and skip the score/softmax recompute in the backward —
+    measured faster at every N=49 shape (ROUND4_NOTES.md); the primal
+    (no-grad) path is unchanged."""
     return _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
                 block_rows, out_dtype)
 
@@ -1664,14 +1883,32 @@ def _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
 
 
 def _fwd_rule(qkv, scale, bias16, num_heads, n_win_per_img, mask,
-              block_rows, out_dtype):
+              block_rows, out_dtype, stored_stats):
+    if os.environ.get("FR_ATTN_STORED_STATS", "1") == "0":
+        stored_stats = False          # in-model A/B kill-switch
+    if stored_stats and not _interpret():
+        out, p_st, sraw_st = _fwd_stats(qkv, scale, bias16, num_heads,
+                                        n_win_per_img, mask, block_rows,
+                                        out_dtype)
+        return out, (qkv, scale, bias16, mask, (p_st, sraw_st))
     out = _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
                block_rows, out_dtype)
-    return out, (qkv, scale, bias16, mask)
+    return out, (qkv, scale, bias16, mask, None)
 
 
-def _bwd_rule(num_heads, n_win_per_img, block_rows, out_dtype, residuals, g):
-    qkv, scale, bias16, mask = residuals
+def _bwd_rule(num_heads, n_win_per_img, block_rows, out_dtype, stored_stats,
+              residuals, g):
+    qkv, scale, bias16, mask = residuals[:4]
+    stats = residuals[4]
+    if stats is not None:
+        p_st, sraw_st = stats
+        dqkv, dscale, dbias = _bwd_stats(
+            qkv, scale, p_st, sraw_st, g,
+            num_heads, n_win_per_img, block_rows)
+        dscale = _match_cotangent_vma(dscale.reshape(num_heads), scale)
+        dbias = _match_cotangent_vma(dbias, bias16)
+        dmask = jnp.zeros_like(mask) if mask is not None else None
+        return (dqkv, dscale, dbias, dmask)
     B_, N, C3 = qkv.shape
     compute = qkv.dtype
     has_mask = mask is not None

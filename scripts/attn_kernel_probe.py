@@ -111,13 +111,30 @@ SHAPES = {
 
 
 def _call_v1(q, sc, b, m, heads, nW, block_rows):
-    return fwa.fused_window_attention(q, sc, b, heads, nW, m, block_rows)
+    # stored_stats=False: the round-3 recompute backward (A/B baseline)
+    return fwa.fused_window_attention(q, sc, b, heads, nW, m, block_rows,
+                                      None, False)
+
+
+def _call_v1s(q, sc, b, m, heads, nW, block_rows):
+    # stored-stats backward: fwd saves per-head p/s_raw, bwd skips the
+    # score/softmax recompute (round-4 design)
+    return fwa.fused_window_attention(q, sc, b, heads, nW, m, block_rows,
+                                      None, True)
 
 
 def _call_v1b(q, sc, b, m, heads, nW, block_rows):
     # bf16 pre-proj output + bf16 incoming cotangent (model-path setting)
     return fwa.fused_window_attention(q, sc, b, heads, nW, m, block_rows,
-                                      jnp.bfloat16).astype(jnp.float32)
+                                      jnp.bfloat16, False
+                                      ).astype(jnp.float32)
+
+
+def _call_v1bs(q, sc, b, m, heads, nW, block_rows):
+    # bf16 outputs + stored-stats backward (the full model-path candidate)
+    return fwa.fused_window_attention(q, sc, b, heads, nW, m, block_rows,
+                                      jnp.bfloat16, True
+                                      ).astype(jnp.float32)
 
 
 def _call_v2(q, sc, b, m, heads, nW, block_rows):
@@ -160,10 +177,17 @@ def run_shape(name, masked, parity=False, timing=True):
         if not os.environ.get("ATTN_PROBE_ONLY_V2"):
             variants[f"v1 br={br}"] = functools.partial(
                 _call_v1, heads=heads, nW=nW, block_rows=br)
+            if os.environ.get("ATTN_PROBE_V1STATS"):
+                variants[f"v1s br={br}"] = functools.partial(
+                    _call_v1s, heads=heads, nW=nW, block_rows=br)
             if os.environ.get("ATTN_PROBE_V1BF16"):
                 variants[f"v1b br={br}"] = functools.partial(
                     _call_v1b, heads=heads, nW=nW, block_rows=br)
-        if hasattr(fwa, "fused_window_attention_packed"):
+                if os.environ.get("ATTN_PROBE_V1STATS"):
+                    variants[f"v1bs br={br}"] = functools.partial(
+                        _call_v1bs, heads=heads, nW=nW, block_rows=br)
+        if (hasattr(fwa, "fused_window_attention_packed")
+                and not os.environ.get("ATTN_PROBE_NO_V2")):
             variants[f"v2 br={br}"] = functools.partial(
                 _call_v2, heads=heads, nW=nW, block_rows=br)
             if os.environ.get("ATTN_PROBE_V1BF16"):

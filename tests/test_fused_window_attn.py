@@ -107,6 +107,56 @@ def test_v1_out_dtype_bf16():
             atol=3e-2 * max(m, 1.0))
 
 
+STATS_CASES = [
+    # (B_, N, C, heads, nW, masked, out_bf16) — the stored-stats VJP (fwd
+    # saves per-head p/s_raw, bwd skips the score/softmax recompute) runs
+    # its REAL kernels under the Pallas interpreter; the custom-vjp rule
+    # gates it off in interpret mode, so this drives the pair directly.
+    (8, 49, 128, 4, 4, False, False),
+    (8, 49, 128, 4, 4, True, True),
+    (8, 9, 256, 8, 4, True, False),
+]
+
+
+@pytest.mark.parametrize("B_,N,C,h,nW,masked,out_bf16", STATS_CASES)
+def test_stored_stats_interpret_matches_unfused(B_, N, C, h, nW, masked,
+                                                out_bf16):
+    """_fwd_stats/_bwd_stats (the N=49 stored-stats backward) vs the
+    unfused oracle's value and grad — including the f32 stat round-trip
+    and the zero-dmask contract."""
+    from fr_tpu.ops import fused_window_attn as fwa
+
+    rng = np.random.default_rng(9)
+    qkv = jnp.asarray(rng.standard_normal((B_, N, 3 * C)), jnp.bfloat16)
+    scale = jnp.asarray(np.abs(rng.standard_normal(h)) + 1.0, jnp.float32)
+    bias16 = jnp.asarray(rng.standard_normal((h, N, N)), jnp.float32)
+    mask = (jnp.asarray(np.where(rng.random((nW, N, N)) > 0.8, -100.0, 0.0),
+                        jnp.float32) if masked else None)
+    g = jnp.asarray(rng.standard_normal((B_, N, C)), jnp.float32)
+    out_dt = jnp.bfloat16 if out_bf16 else None
+
+    out, p_st, sraw_st = fwa._fwd_stats(qkv, scale, bias16, h, nW, mask,
+                                        1024, out_dt, interpret=True)
+    if out_bf16:
+        assert out.dtype == jnp.bfloat16
+    out_r = _ref_attn(qkv, scale, bias16, mask, h)
+    mag = float(jnp.abs(out_r).max())
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(out_r), atol=3e-2 * max(mag, 1.0))
+
+    gc = g.astype(out.dtype)
+    dqkv, dscale, dbias = fwa._bwd_stats(qkv, scale, p_st, sraw_st, gc,
+                                         h, nW, 1024, interpret=True)
+    rr = lambda *a: (_ref_attn(a[0], a[1], a[2], mask, h)  # noqa: E731
+                     * gc.astype(jnp.float32)).sum()
+    gr = jax.grad(rr, argnums=(0, 1, 2))(qkv, scale, bias16)
+    for a, b in zip((dqkv, dscale.reshape(h), dbias), gr):
+        m = float(jnp.abs(b.astype(jnp.float32)).max())
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=3e-2 * max(m, 1.0))
+
+
 @pytest.mark.parametrize("B_,N,C,h,nW,masked,dt,tol", CASES)
 def test_packed_interpret_matches_unfused(B_, N, C, h, nW, masked, dt, tol):
     """The packed-lane kernel's REAL program (repeat/mask/segment matrices,
