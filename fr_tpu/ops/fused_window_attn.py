@@ -281,16 +281,17 @@ def _specs(n_blocks, wb, N, C3, num_heads, has_mask, nW):
 # costs only W*N*N*4 bytes (sw3: 4.8 MB, sw4: 1.2 MB; write-in-fwd +
 # read-in-bwd ~ tens of us at HBM rate) while the recompute it replaces is
 # MXU + transcendental work on 128-lane-padded tiles. The l2 norms stay
-# recomputed (pure VPU, cheaper than round-tripping qn/kn). s_raw is stored
-# alongside p (same shape/cost) because dscale_h = sum(ds . s_raw) needs the
-# pre-scale cosine scores, and recovering them from p would need the
-# bias/mask adds plus a log — more work than the read.
+# recomputed (pure VPU, cheaper than round-tripping qn/kn). s_raw is NOT
+# stored: dscale_h = sum(ds . s_raw) equals sum_c(dqn . qn)/scale_h exactly
+# (dqn = dsc . kn so sum_c dqn.qn = sum_j dsc.(qn.kn^T)_j = sum_j dsc.s_raw,
+# dsc = ds*scale_h), and the dqn.qn row-sums are already computed for the
+# norm VJP — storing only p halves the stat HBM traffic.
 # ---------------------------------------------------------------------------
 
 
 def _fwd_body_stats(qkv_ref, scale_ref, bias_ref, mask_ref, out_ref,
-                    p_ref, sraw_ref, num_heads, compute):
-    """_fwd_body plus per-head stat stores: the p_ref/sraw_ref blocks are
+                    p_ref, num_heads, compute):
+    """_fwd_body plus the per-head softmax store: the p_ref block is
     (num_heads, wb, N, N) f32, head-indexed so each store is contiguous."""
     qkv = qkv_ref[:]
     W, N, C3 = qkv.shape
@@ -315,16 +316,16 @@ def _fwd_body_stats(qkv_ref, scale_ref, bias_ref, mask_ref, out_ref,
             s = (s.reshape(W // nW, nW, N, N) + mask[None]).reshape(W, N, N)
         p = jax.nn.softmax(s, axis=-1)
         p_ref[h] = p
-        sraw_ref[h] = s_raw
         out_ref[:, :, o:o + hd] = lax.dot_general(
             p.astype(compute), vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
-def _bwd_body_stats(qkv_ref, scale_ref, p_ref, sraw_ref, g_ref,
+def _bwd_body_stats(qkv_ref, scale_ref, p_ref, g_ref,
                     dqkv_ref, dscale_ref, dbias_ref, num_heads, compute):
-    """Exact VJP from stored p/s_raw — no score recompute. bias16 and mask
-    are not needed at all: dbias = sum(ds) and the mask only shifted s."""
+    """Exact VJP from stored p — no score recompute. bias16 and mask are
+    not needed at all (dbias = sum(ds); the mask only shifted s), and
+    dscale comes from the norm-VJP row-sums (see the identity above)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -348,7 +349,6 @@ def _bwd_body_stats(qkv_ref, scale_ref, p_ref, sraw_ref, g_ref,
         qn, qr, qa = _norm(qh)
         kn, kr, ka = _norm(kh)
         p = p_ref[h]
-        s_raw = sraw_ref[h]
         pc = p.astype(compute)
         g_h = g[:, :, o:o + hd]
         dp = lax.dot_general(g_h.astype(compute), vh,
@@ -359,7 +359,6 @@ def _bwd_body_stats(qkv_ref, scale_ref, p_ref, sraw_ref, g_ref,
                              preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         dbias_ref[h] += jnp.sum(ds, axis=0)
-        dscales.append(jnp.sum(ds * s_raw))
         dsc = (ds * scale[h]).astype(compute)
         dqn = lax.dot_general(dsc, kn.astype(compute),
                               (((2,), (1,)), ((0,), (0,))),
@@ -367,8 +366,9 @@ def _bwd_body_stats(qkv_ref, scale_ref, p_ref, sraw_ref, g_ref,
         dkn = lax.dot_general(dsc, qn.astype(compute),
                               (((1,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
-        dq = qr * (dqn - jnp.where(
-            qa, qn * jnp.sum(dqn * qn, axis=-1, keepdims=True), 0.0))
+        rs_q = jnp.sum(dqn * qn, axis=-1, keepdims=True)
+        dscales.append(jnp.sum(rs_q) / scale[h])
+        dq = qr * (dqn - jnp.where(qa, qn * rs_q, 0.0))
         dk = kr * (dkn - jnp.where(
             ka, kn * jnp.sum(dkn * kn, axis=-1, keepdims=True), 0.0))
         dt = dqkv_ref.dtype
@@ -386,7 +386,7 @@ def _stat_spec(num_heads, wb, N):
 
 def _fwd_stats(qkv, scale, bias16, num_heads, n_win_per_img, mask,
                block_rows, out_dtype, interpret=None):
-    """Forward emitting (out, p_stats, sraw_stats); stats are f32
+    """Forward emitting (out, p_stats); p_stats is f32
     (num_heads, B_, N, N). Only used under differentiation — the primal
     path keeps the stat-free kernel."""
     B_, N, C3 = qkv.shape
@@ -407,12 +407,12 @@ def _fwd_stats(qkv, scale, bias16, num_heads, n_win_per_img, mask,
     vma = _vma_union(*args)
 
     if has_mask:
-        def kernel(q, s, b, m, o, p, sr):
-            _fwd_body_stats(q, s, b, m, o, p, sr, num_heads, compute)
+        def kernel(q, s, b, m, o, p):
+            _fwd_body_stats(q, s, b, m, o, p, num_heads, compute)
     else:
-        def kernel(q, s, b, o, p, sr):
-            _fwd_body_stats(q, s, b, None, o, p, sr, num_heads, compute)
-    out, p_st, sraw_st = pl.pallas_call(
+        def kernel(q, s, b, o, p):
+            _fwd_body_stats(q, s, b, None, o, p, num_heads, compute)
+    out, p_st = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=_specs(grid[0], wb, N, C3, num_heads, has_mask,
@@ -421,22 +421,19 @@ def _fwd_stats(qkv, scale, bias16, num_heads, n_win_per_img, mask,
             pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             _stat_spec(num_heads, wb, N),
-            _stat_spec(num_heads, wb, N),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B_, N, C), out_dtype, vma=vma),
-            jax.ShapeDtypeStruct((num_heads, B_, N, N), jnp.float32,
-                                 vma=vma),
             jax.ShapeDtypeStruct((num_heads, B_, N, N), jnp.float32,
                                  vma=vma),
         ],
         compiler_params=_ATTN_COMPILER_PARAMS,
         interpret=interpret,
     )(*args)
-    return out, p_st, sraw_st
+    return out, p_st
 
 
-def _bwd_stats(qkv, scale, p_st, sraw_st, g, num_heads, n_win_per_img,
+def _bwd_stats(qkv, scale, p_st, g, num_heads, n_win_per_img,
                block_rows, interpret=None):
     B_, N, C3 = qkv.shape
     compute = qkv.dtype
@@ -446,19 +443,17 @@ def _bwd_stats(qkv, scale, p_st, sraw_st, g, num_heads, n_win_per_img,
     wb = _pick_block(B_, N, n_win_per_img, target_rows=block_rows)
     grid = (B_ // wb,)
 
-    args = _align_vma(qkv, jnp.reshape(scale, (1, num_heads)), p_st,
-                      sraw_st, g)
+    args = _align_vma(qkv, jnp.reshape(scale, (1, num_heads)), p_st, g)
     vma = _vma_union(*args)
 
-    def kernel(q, s, p, sr, gg, dq, dsc, db):
-        _bwd_body_stats(q, s, p, sr, gg, dq, dsc, db, num_heads, compute)
+    def kernel(q, s, p, gg, dq, dsc, db):
+        _bwd_body_stats(q, s, p, gg, dq, dsc, db, num_heads, compute)
 
     in_specs = [
         pl.BlockSpec((wb, N, C3), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, num_heads), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
-        _stat_spec(num_heads, wb, N),
         _stat_spec(num_heads, wb, N),
         pl.BlockSpec((wb, N, C3 // 3), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -1058,6 +1053,262 @@ def _pk_pack_params(scale, bias16, mask, num_heads, N, hg):
     return scalep, biasp, maskp
 
 
+# ---------------------------------------------------------------------------
+# Stored-stats backward for the PACKED kernel — the same trade as the
+# per-head stats kernel (see _fwd_body_stats): N here is 9-36 tokens, so
+# storing the packed softmax probabilities (ng, B_, N, gN) f32 costs only a
+# ~0.1 ms HBM round trip per stage-2 call while the recompute it replaces is
+# the score dot, the bias/mask adds, the max/exp/denominator chain and the
+# invexp expansion. The l2 norms and head-repeated k/v stay recomputed (the
+# backward's own dots need qn/krep/vrep regardless, and the norms are pure
+# VPU). s_cos is NOT stored: dscale_h = sum(ds . s_cos over head-h lanes)
+# equals sum(dqn . qn over head-h channels)/scale_h exactly (dqn = dsc.krep
+# with krep head-masked, dsc = ds*scale_h — the per-head identity of
+# _bwd_body_stats restricted to each lane group), and the dqn.qn products
+# are already formed for the norm VJP. bias16 and the shift mask are not
+# needed at all in this backward (dbias = sum(ds); the mask only shifted s).
+# ---------------------------------------------------------------------------
+
+
+def _pk_fwd_body_stats(qkv_ref, scalep_ref, biasp_ref, mask_ref, hm_ref,
+                       blockC_ref, segsum_ref, segexp_ref, out_ref, p_ref,
+                       num_heads, hg, compute):
+    """_pk_fwd_body plus the packed softmax store: p_ref is
+    (ng, wb, N, gN) f32, group-indexed so each store is contiguous. out is
+    p·vrep directly (the stat-free body computes e·vrep then divides by the
+    segC-expanded denominator; here p is materialised anyway)."""
+    qkv = qkv_ref[:]
+    W, N, C3 = qkv.shape
+    C = C3 // 3
+    ng = num_heads // hg
+    Cg = C // ng
+    mask = mask_ref[:] if mask_ref is not None else None
+    hm_c = hm_ref[:].astype(compute)
+    for gi in range(ng):
+        o = gi * Cg
+        (_, _, _, _, _, _, _, _, _, vrep, _, e, denom) = _pk_recompute(
+            qkv[:, :, o:o + Cg], qkv[:, :, C + o:C + o + Cg],
+            qkv[:, :, 2 * C + o:2 * C + o + Cg],
+            scalep_ref[gi], biasp_ref[gi], mask, hm_c,
+            blockC_ref[:], segsum_ref[:], hg, compute)
+        invexp = _nobatch(1.0 / denom, segexp_ref[:])     # (W, N, gN)
+        p = e * invexp
+        p_ref[gi] = p
+        out = lax.dot_general(p.astype(compute), vrep,
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+        out_ref[:, :, o:o + Cg] = out.astype(out_ref.dtype)
+
+
+def _pk_bwd_one_group_stats(q, k, v, scalep, hm, hm_c, blockC, segsum,
+                            segexp, segC, p, gc, hg, compute):
+    """Exact VJP for ONE head group from the stored packed softmax — no
+    score recompute. Same contract as _pk_bwd_one_group minus the
+    biasp/mask operands (not needed — see the section comment)."""
+    N = q.shape[1]
+    q = q.astype(jnp.float32)
+    k = k.astype(jnp.float32)
+    ssq_q = _nobatch(q * q, blockC)
+    ssq_k = _nobatch(k * k, blockC)
+    rq = lax.rsqrt(jnp.maximum(ssq_q, EPS * EPS))
+    rk = lax.rsqrt(jnp.maximum(ssq_k, EPS * EPS))
+    aq = ssq_q > EPS * EPS
+    ak = ssq_k > EPS * EPS
+    qn32 = q * rq
+    kn32 = k * rk
+    qn = qn32.astype(compute)
+    kn = kn32.astype(compute)
+    krep = jnp.concatenate([kn] * hg, axis=1) * hm_c
+    vrep = jnp.concatenate([v] * hg, axis=1) * hm_c
+    gcc = gc.astype(compute)
+    dp = lax.dot_general(gcc, vrep, (((2,), (2,)), ((0,), (0,))),
+                         preferred_element_type=jnp.float32)
+    pc = p.astype(compute)
+    dvfull = lax.dot_general(pc, gcc, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    dv = _fold_heads(dvfull, hm, hg, N)
+    rowsum = _nobatch(p * dp, segsum)                 # (W, N, hg)
+    rowexp = _nobatch(rowsum, segexp)                 # (W, N, gN)
+    ds = p * (dp - rowexp)
+    dbias_p = jnp.sum(ds, axis=0)
+    dsc = (ds * scalep[None]).astype(compute)
+    dqn = lax.dot_general(dsc, krep, (((2,), (1,)), ((0,), (0,))),
+                          preferred_element_type=jnp.float32)
+    dknfull = lax.dot_general(dsc, qn, (((1,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    dkn = _fold_heads(dknfull, hm, hg, N)
+    rs_q = dqn * qn32
+    rd_q = _nobatch(rs_q, blockC)
+    rd_k = _nobatch(dkn * kn32, blockC)
+    # dscale from the norm-VJP products (identity in the section comment):
+    # per-head channel-segment row sums → one scalar per head, broadcast
+    # back to the head's N lanes / scale / N so the caller's lane-sum
+    # unpack (sum over each head's N lanes) recovers dscale_h exactly.
+    per_head = lax.dot_general(rs_q, segC, (((2,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    head_sums = jnp.sum(per_head, axis=(0, 1)).reshape(1, hg)
+    dscale_p = _nobatch(head_sums, segexp) / (scalep * N)
+    dq = rq * (dqn - jnp.where(aq, qn32 * rd_q, 0.0))
+    dk = rk * (dkn - jnp.where(ak, kn32 * rd_k, 0.0))
+    return dq, dk, dv, dbias_p, dscale_p
+
+
+def _pk_bwd_body_stats(qkv_ref, scalep_ref, hm_ref, blockC_ref, segsum_ref,
+                       segexp_ref, segC_ref, p_ref, g_ref,
+                       dqkv_ref, dscalep_ref, dbiasp_ref,
+                       num_heads, hg, compute):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dscalep_ref[:] = jnp.zeros_like(dscalep_ref)
+        dbiasp_ref[:] = jnp.zeros_like(dbiasp_ref)
+
+    qkv = qkv_ref[:]
+    C = qkv.shape[2] // 3
+    ng = num_heads // hg
+    Cg = C // ng
+    hm = hm_ref[:]
+    hm_c = hm.astype(compute)
+    dt = dqkv_ref.dtype
+    g = g_ref[:]
+    for gi in range(ng):
+        o = gi * Cg
+        dq, dk, dv, dbias_p, dscale_p = _pk_bwd_one_group_stats(
+            qkv[:, :, o:o + Cg], qkv[:, :, C + o:C + o + Cg],
+            qkv[:, :, 2 * C + o:2 * C + o + Cg],
+            scalep_ref[gi], hm, hm_c, blockC_ref[:], segsum_ref[:],
+            segexp_ref[:], segC_ref[:], p_ref[gi], g[:, :, o:o + Cg],
+            hg, compute)
+        dbiasp_ref[gi] += dbias_p
+        dscalep_ref[gi] += dscale_p
+        dqkv_ref[:, :, o:o + Cg] = dq.astype(dt)
+        dqkv_ref[:, :, C + o:C + o + Cg] = dk.astype(dt)
+        dqkv_ref[:, :, 2 * C + o:2 * C + o + Cg] = dv.astype(dt)
+
+
+def _pk_stat_spec(ng, wb, N, gN):
+    return pl.BlockSpec((ng, wb, N, gN), lambda i: (0, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _pk_fwd_stats(qkv, scale, bias16, num_heads, n_win_per_img, mask,
+                  block_rows, out_dtype, head_group=0, interpret=None):
+    """Packed forward emitting (out, p_stats); p_stats is f32
+    (ng, B_, N, gN). Only used under differentiation — the primal path
+    keeps the stat-free kernel."""
+    B_, N, C3 = qkv.shape
+    C = C3 // 3
+    hg = head_group or num_heads
+    ng = num_heads // hg
+    gN = hg * N
+    Cg = C // ng
+    compute = qkv.dtype
+    out_dtype = out_dtype or jnp.float32
+    if interpret is None:
+        interpret = _interpret()
+    has_mask = mask is not None
+    scalep, biasp, maskp = _pk_pack_params(scale, bias16, mask, num_heads,
+                                           N, hg)
+    hm, blockC, segsum, segexp, _ = (jnp.asarray(a) for a in
+                                     _pk_constants(hg, N, Cg))
+    wb = _pk_pick_block(B_, N, n_win_per_img, C, num_heads,
+                        target_rows=block_rows, hg=hg)
+    grid = (B_ // wb,)
+    args = [qkv, scalep, biasp] + ([maskp] if has_mask else []) + \
+        [hm, blockC, segsum, segexp]
+    args = _align_vma(*args)
+    vma = _vma_union(*args)
+    if has_mask:
+        def kernel(q, sc, b, m, *rest):
+            _pk_fwd_body_stats(q, sc, b, m, *rest, num_heads, hg, compute)
+    else:
+        def kernel(q, sc, b, *rest):
+            _pk_fwd_body_stats(q, sc, b, None, *rest, num_heads, hg,
+                               compute)
+    in_specs = _pk_specs(wb, N, C3, num_heads, hg, has_mask, n_win_per_img)
+    in_specs.append(pl.BlockSpec((hg, gN), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))     # segexp
+    out, p_st = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _pk_stat_spec(ng, wb, N, gN),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B_, N, C), out_dtype, vma=vma),
+            jax.ShapeDtypeStruct((ng, B_, N, gN), jnp.float32, vma=vma),
+        ],
+        compiler_params=_ATTN_COMPILER_PARAMS,
+        interpret=interpret,
+    )(*args)
+    return out, p_st
+
+
+def _pk_bwd_stats(qkv, scale, p_st, g, num_heads, n_win_per_img,
+                  block_rows, head_group=0, interpret=None):
+    B_, N, C3 = qkv.shape
+    C = C3 // 3
+    hg = head_group or num_heads
+    ng = num_heads // hg
+    gN = hg * N
+    Cg = C // ng
+    compute = qkv.dtype
+    if interpret is None:
+        interpret = _interpret()
+    scalep = jnp.repeat(scale, N).reshape(ng, 1, gN)
+    hm, blockC, segsum, segexp, segC = (jnp.asarray(a) for a in
+                                        _pk_constants(hg, N, Cg))
+    wb = _pk_pick_block(B_, N, n_win_per_img, C, num_heads,
+                        target_rows=block_rows, hg=hg)
+    grid = (B_ // wb,)
+    args = _align_vma(qkv, scalep, hm, blockC, segsum, segexp, segC,
+                      p_st, g)
+    vma = _vma_union(*args)
+
+    def kernel(*refs):
+        _pk_bwd_body_stats(*refs, num_heads, hg, compute)
+
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((wb, N, C3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const((ng, 1, gN)),      # scalep
+        const((gN, Cg)),         # hm
+        const((Cg, Cg)),         # blockC
+        const((gN, hg)),         # segsum
+        const((hg, gN)),         # segexp
+        const((hg, Cg)),         # segC
+        _pk_stat_spec(ng, wb, N, gN),
+        pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((wb, N, C3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, 1, gN), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, N, gN), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B_, N, C3), compute, vma=vma),
+            jax.ShapeDtypeStruct((ng, 1, gN), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((ng, N, gN), jnp.float32, vma=vma),
+        ],
+        compiler_params=_ATTN_COMPILER_PARAMS,
+        interpret=interpret,
+    )(*args)
+
+
 # Grid-axis head grouping: ng = heads/hg > 1 with the GROUP as a grid
 # dimension instead of an unrolled in-body loop. The unrolled loop measured
 # a loss at every N=49 shape because Mosaic does not share scoped-VMEM
@@ -1270,7 +1521,7 @@ def _pk_specs(wb, N, C3, num_heads, hg, has_mask, nW):
     return specs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6, 7, 8, 9, 10))
 def fused_window_attention_packed(qkv: jnp.ndarray, scale: jnp.ndarray,
                                   bias16: jnp.ndarray, num_heads: int,
                                   n_win_per_img: int,
@@ -1278,7 +1529,8 @@ def fused_window_attention_packed(qkv: jnp.ndarray, scale: jnp.ndarray,
                                   block_rows: int = 1024,
                                   interpret: bool = False,
                                   out_dtype=None,
-                                  head_group: int = 0) -> jnp.ndarray:
+                                  head_group: int = 0,
+                                  stored_stats: bool = True) -> jnp.ndarray:
     """Same contract as fused_window_attention (qkv (B_, N, 3C)
     compute-dtype → (B_, N, C)); packed-lane layout inside.
     interpret=True runs the packed Pallas program in the interpreter —
@@ -1294,7 +1546,13 @@ def fused_window_attention_packed(qkv: jnp.ndarray, scale: jnp.ndarray,
     head-repeated k/v buffers (hN·C·8 B/window ≈ 3.2 MB at h=16, C=512)
     force single-window grid blocks; hg=4 with hd=32 keeps the slices
     128-lane aligned, pads 196→256 (1.31× vs per-head 2.6×) and shrinks
-    the per-group repeat to gN·Cg·8 ≈ 200 KB/window."""
+    the per-group repeat to gN·Cg·8 ≈ 200 KB/window.
+    stored_stats=True (default) makes the DIFFERENTIATED forward store the
+    packed softmax probabilities so the backward skips the whole score
+    recompute (see the _pk_fwd_body_stats section comment); the primal
+    (no-grad) path always runs the stat-free kernel, and
+    FR_ATTN_STORED_STATS=0 is the in-model A/B kill-switch shared with the
+    per-head op."""
     return _pk_fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
                    block_rows, interpret, out_dtype, head_group)
 
@@ -1349,15 +1607,43 @@ def _pk_fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask, block_rows,
 
 
 def _pk_fwd_rule(qkv, scale, bias16, num_heads, n_win_per_img, mask,
-                 block_rows, interpret, out_dtype, head_group):
+                 block_rows, interpret, out_dtype, head_group, stored_stats):
+    if os.environ.get("FR_ATTN_STORED_STATS", "1") == "0":
+        stored_stats = False          # in-model A/B kill-switch
+    hg = head_group or num_heads
+    ng = num_heads // hg
+    Cg = qkv.shape[2] // 3 // ng
+    use_stats = (stored_stats and (interpret or not _interpret())
+                 and not _pkg_use(ng, Cg))
+    if use_stats:
+        out, p_st = _pk_fwd_stats(qkv, scale, bias16, num_heads,
+                                  n_win_per_img, mask, block_rows,
+                                  out_dtype, head_group,
+                                  interpret=interpret or None)
+        return out, (qkv, scale, bias16, mask, p_st)
     out = _pk_fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
                   block_rows, interpret, out_dtype, head_group)
-    return out, (qkv, scale, bias16, mask)
+    return out, (qkv, scale, bias16, mask, None)
 
 
 def _pk_bwd_rule(num_heads, n_win_per_img, block_rows, interpret, out_dtype,
-                 head_group, residuals, g):
-    qkv, scale, bias16, mask = residuals
+                 head_group, stored_stats, residuals, g):
+    qkv, scale, bias16, mask = residuals[:4]
+    p_st = residuals[4]
+    if p_st is not None:
+        dqkv, dscalep, dbiasp = _pk_bwd_stats(
+            qkv, scale, p_st, g, num_heads, n_win_per_img, block_rows,
+            head_group, interpret=interpret or None)
+        hg = head_group or num_heads
+        ng = num_heads // hg
+        N = qkv.shape[1]
+        dscale = jnp.sum(dscalep.reshape(num_heads, N), axis=1)
+        dbias = dbiasp.reshape(ng, N, hg, N).transpose(0, 2, 1, 3).reshape(
+            num_heads, N, N)
+        dscale = _match_cotangent_vma(dscale, scale)
+        dbias = _match_cotangent_vma(dbias, bias16)
+        dmask = jnp.zeros_like(mask) if mask is not None else None
+        return (dqkv, dscale, dbias, dmask)
     B_, N, C3 = qkv.shape
     C = C3 // 3
     hg = head_group or num_heads
@@ -1676,7 +1962,7 @@ def _pkx_bwd_rule(num_heads, n_win_per_img, block_rows, interpret, out_dtype,
         qkv = (qkv32 + b.astype(jnp.float32)).astype(compute)
         dqkv, dscale, dbias, _ = _pk_bwd_rule(
             num_heads, n_win_per_img, block_rows, interpret, out_dtype,
-            head_group, (qkv, scale, bias16, mask), g)
+            head_group, False, (qkv, scale, bias16, mask, None), g)
         dqkv_c = dqkv.astype(compute)
         dx = lax.dot_general(dqkv_c, w.astype(compute).transpose(1, 0),
                              (((2,), (0,)), ((), ())),
@@ -1887,10 +2173,9 @@ def _fwd_rule(qkv, scale, bias16, num_heads, n_win_per_img, mask,
     if os.environ.get("FR_ATTN_STORED_STATS", "1") == "0":
         stored_stats = False          # in-model A/B kill-switch
     if stored_stats and not _interpret():
-        out, p_st, sraw_st = _fwd_stats(qkv, scale, bias16, num_heads,
-                                        n_win_per_img, mask, block_rows,
-                                        out_dtype)
-        return out, (qkv, scale, bias16, mask, (p_st, sraw_st))
+        out, p_st = _fwd_stats(qkv, scale, bias16, num_heads,
+                               n_win_per_img, mask, block_rows, out_dtype)
+        return out, (qkv, scale, bias16, mask, p_st)
     out = _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
                block_rows, out_dtype)
     return out, (qkv, scale, bias16, mask, None)
@@ -1899,12 +2184,10 @@ def _fwd_rule(qkv, scale, bias16, num_heads, n_win_per_img, mask,
 def _bwd_rule(num_heads, n_win_per_img, block_rows, out_dtype, stored_stats,
               residuals, g):
     qkv, scale, bias16, mask = residuals[:4]
-    stats = residuals[4]
-    if stats is not None:
-        p_st, sraw_st = stats
+    p_st = residuals[4]
+    if p_st is not None:
         dqkv, dscale, dbias = _bwd_stats(
-            qkv, scale, p_st, sraw_st, g,
-            num_heads, n_win_per_img, block_rows)
+            qkv, scale, p_st, g, num_heads, n_win_per_img, block_rows)
         dscale = _match_cotangent_vma(dscale.reshape(num_heads), scale)
         dbias = _match_cotangent_vma(dbias, bias16)
         dmask = jnp.zeros_like(mask) if mask is not None else None

@@ -138,20 +138,36 @@ def _call_v1bs(q, sc, b, m, heads, nW, block_rows):
 
 
 def _call_v2(q, sc, b, m, heads, nW, block_rows):
+    # stored_stats=False: the recompute backward (A/B baseline)
     return fwa.fused_window_attention_packed(q, sc, b, heads, nW, m,
-                                             block_rows)
+                                             block_rows, stored_stats=False)
+
+
+def _call_v2s(q, sc, b, m, heads, nW, block_rows):
+    # stored-stats backward: fwd stores the packed softmax, bwd skips the
+    # score/softmax recompute (round-4 design, mirrors v1s)
+    return fwa.fused_window_attention_packed(q, sc, b, heads, nW, m,
+                                             block_rows, stored_stats=True)
 
 
 def _call_v2b(q, sc, b, m, heads, nW, block_rows):
     # bf16 pre-proj output + bf16 incoming cotangent (model-path setting)
     return fwa.fused_window_attention_packed(
         q, sc, b, heads, nW, m, block_rows,
-        out_dtype=jnp.bfloat16).astype(jnp.float32)
+        out_dtype=jnp.bfloat16, stored_stats=False).astype(jnp.float32)
+
+
+def _call_v2bs(q, sc, b, m, heads, nW, block_rows):
+    # bf16 outputs + stored-stats backward (the full model-path candidate)
+    return fwa.fused_window_attention_packed(
+        q, sc, b, heads, nW, m, block_rows,
+        out_dtype=jnp.bfloat16, stored_stats=True).astype(jnp.float32)
 
 
 def _call_v2g(q, sc, b, m, heads, nW, block_rows, hg):
     return fwa.fused_window_attention_packed(q, sc, b, heads, nW, m,
-                                             block_rows, False, None, hg)
+                                             block_rows, False, None, hg,
+                                             False)
 
 
 def run_shape(name, masked, parity=False, timing=True):
@@ -190,9 +206,15 @@ def run_shape(name, masked, parity=False, timing=True):
                 and not os.environ.get("ATTN_PROBE_NO_V2")):
             variants[f"v2 br={br}"] = functools.partial(
                 _call_v2, heads=heads, nW=nW, block_rows=br)
+            if os.environ.get("ATTN_PROBE_V1STATS"):
+                variants[f"v2s br={br}"] = functools.partial(
+                    _call_v2s, heads=heads, nW=nW, block_rows=br)
             if os.environ.get("ATTN_PROBE_V1BF16"):
                 variants[f"v2b br={br}"] = functools.partial(
                     _call_v2b, heads=heads, nW=nW, block_rows=br)
+                if os.environ.get("ATTN_PROBE_V1STATS"):
+                    variants[f"v2bs br={br}"] = functools.partial(
+                        _call_v2bs, heads=heads, nW=nW, block_rows=br)
             for hg in [int(h) for h in os.environ.get(
                     "ATTN_PROBE_GROUPS", "").split(",") if h]:
                 if hg < heads and heads % hg == 0:

@@ -107,22 +107,27 @@ def main() -> int:
         mask = (jnp.asarray(shifted_window_mask(hw, hw, ws, shift))
                 if shift else None)
 
-        fk = jax.jit(jax.value_and_grad(
-            lambda q: fused_window_attention_packed(
-                q, scale, bias16, h, nW, mask, 1024, False, dt)
-            .astype(jnp.float32).sum()))
         fr = jax.jit(jax.value_and_grad(
             lambda q: _heads_fwd(q, scale, bias16, mask, h, dt).sum()))
-        ok, gk = fk(qkv)
         orf, gr = fr(qkv)
-        o_err = abs(float(ok) - float(orf)) / max(abs(float(orf)), 1.0)
-        g_err = float(jnp.max(jnp.abs(
-            gk.astype(jnp.float32) - gr.astype(jnp.float32))))
-        g_mag = float(jnp.max(jnp.abs(gr.astype(jnp.float32))))
-        assert o_err < tol and g_err < tol * max(g_mag, 1.0), \
-            (o_err, g_err, g_mag)
-        print(f"packed window-attn parity ok (C={C} h={h} shift={shift}: "
-              f"out {o_err:.1e}, grad {g_err:.1e}/{g_mag:.1e})")
+        # stored=True is the production default (packed-softmax-store
+        # backward); the recompute arm is re-asserted on the first config
+        # so both real Mosaic lowerings stay parity-covered
+        for stored in ((True, False) if C == 128 else (True,)):
+            fk = jax.jit(jax.value_and_grad(
+                lambda q, s=stored: fused_window_attention_packed(
+                    q, scale, bias16, h, nW, mask, 1024, False, dt, 0, s)
+                .astype(jnp.float32).sum()))
+            ok, gk = fk(qkv)
+            o_err = abs(float(ok) - float(orf)) / max(abs(float(orf)), 1.0)
+            g_err = float(jnp.max(jnp.abs(
+                gk.astype(jnp.float32) - gr.astype(jnp.float32))))
+            g_mag = float(jnp.max(jnp.abs(gr.astype(jnp.float32))))
+            assert o_err < tol and g_err < tol * max(g_mag, 1.0), \
+                (stored, o_err, g_err, g_mag)
+            print(f"packed window-attn parity ok (C={C} h={h} shift={shift}"
+                  f" stored={stored}: out {o_err:.1e}, "
+                  f"grad {g_err:.1e}/{g_mag:.1e})")
 
     # 1b''. entry-fused packed kernel (qkv GEMM inside, the production
     # default WindowAttention entry_fused=True) — real Mosaic lowering,

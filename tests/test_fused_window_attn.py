@@ -135,8 +135,8 @@ def test_stored_stats_interpret_matches_unfused(B_, N, C, h, nW, masked,
     g = jnp.asarray(rng.standard_normal((B_, N, C)), jnp.float32)
     out_dt = jnp.bfloat16 if out_bf16 else None
 
-    out, p_st, sraw_st = fwa._fwd_stats(qkv, scale, bias16, h, nW, mask,
-                                        1024, out_dt, interpret=True)
+    out, p_st = fwa._fwd_stats(qkv, scale, bias16, h, nW, mask,
+                               1024, out_dt, interpret=True)
     if out_bf16:
         assert out.dtype == jnp.bfloat16
     out_r = _ref_attn(qkv, scale, bias16, mask, h)
@@ -145,7 +145,7 @@ def test_stored_stats_interpret_matches_unfused(B_, N, C, h, nW, masked,
                                np.asarray(out_r), atol=3e-2 * max(mag, 1.0))
 
     gc = g.astype(out.dtype)
-    dqkv, dscale, dbias = fwa._bwd_stats(qkv, scale, p_st, sraw_st, gc,
+    dqkv, dscale, dbias = fwa._bwd_stats(qkv, scale, p_st, gc,
                                          h, nW, 1024, interpret=True)
     rr = lambda *a: (_ref_attn(a[0], a[1], a[2], mask, h)  # noqa: E731
                      * gc.astype(jnp.float32)).sum()
@@ -179,16 +179,78 @@ def test_packed_interpret_matches_unfused(B_, N, C, h, nW, masked, dt, tol):
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
                                atol=tol * max(ref_mag, 1.0))
 
-    f = lambda *a: fused_window_attention_packed(  # noqa: E731
-        a[0], a[1], a[2], h, nW, mask, 1024, True).sum()
     r = lambda *a: _ref_attn(a[0], a[1], a[2], mask, h).sum()  # noqa: E731
-    gf = jax.grad(f, argnums=(0, 1, 2))(qkv, scale, bias16)
     gr = jax.grad(r, argnums=(0, 1, 2))(qkv, scale, bias16)
-    for a, b in zip(gf, gr):
-        mag = float(jnp.abs(b.astype(jnp.float32)).max())
+    # both backward arms under the interpreter: stored_stats=False is the
+    # recompute kernel (_pk_bwd_body), True the packed-softmax-store pair
+    # (_pk_fwd_body_stats/_pk_bwd_body_stats) the model path defaults to
+    for stored in (False, True):
+        f = lambda *a: fused_window_attention_packed(  # noqa: E731
+            a[0], a[1], a[2], h, nW, mask, 1024, True,
+            stored_stats=stored).sum()
+        gf = jax.grad(f, argnums=(0, 1, 2))(qkv, scale, bias16)
+        for a, b in zip(gf, gr):
+            mag = float(jnp.abs(b.astype(jnp.float32)).max())
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=tol * max(mag, 1.0))
+
+
+PK_STATS_CASES = [
+    # (B_, N, C, heads, nW, hg, masked, out_bf16) — the packed stored-stats
+    # pair driven directly: full pack (ng=1), an ng=2 unrolled-group case
+    # with non-lane-aligned Cg (the grid path is gated off there, so the
+    # stats rule covers it), masked and bf16-out combinations.
+    (8, 36, 128, 4, 4, 0, False, False),
+    (8, 36, 128, 4, 4, 0, True, True),
+    (8, 9, 256, 16, 4, 0, True, False),
+    (4, 25, 96, 8, 1, 4, True, False),    # ng=2, Cg=48: unrolled stats loop
+]
+
+
+@pytest.mark.parametrize("B_,N,C,h,nW,hg,masked,out_bf16", PK_STATS_CASES)
+def test_packed_stored_stats_interpret_matches_unfused(B_, N, C, h, nW, hg,
+                                                       masked, out_bf16):
+    """_pk_fwd_stats/_pk_bwd_stats (the packed stored-stats backward) vs
+    the unfused oracle's value and grad — including the f32 packed-softmax
+    round-trip, the dscale-from-norm-VJP identity and the lane unpack."""
+    from fr_tpu.ops import fused_window_attn as fwa
+
+    rng = np.random.default_rng(11)
+    qkv = jnp.asarray(rng.standard_normal((B_, N, 3 * C)), jnp.bfloat16)
+    scale = jnp.asarray(np.abs(rng.standard_normal(h)) + 1.0, jnp.float32)
+    bias16 = jnp.asarray(rng.standard_normal((h, N, N)), jnp.float32)
+    mask = (jnp.asarray(np.where(rng.random((nW, N, N)) > 0.8, -100.0, 0.0),
+                        jnp.float32) if masked else None)
+    g = jnp.asarray(rng.standard_normal((B_, N, C)), jnp.float32)
+    out_dt = jnp.bfloat16 if out_bf16 else None
+
+    out, p_st = fwa._pk_fwd_stats(qkv, scale, bias16, h, nW, mask,
+                                  1024, out_dt, hg, interpret=True)
+    if out_bf16:
+        assert out.dtype == jnp.bfloat16
+    out_r = _ref_attn(qkv, scale, bias16, mask, h)
+    mag = float(jnp.abs(out_r).max())
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(out_r), atol=3e-2 * max(mag, 1.0))
+
+    gc = g.astype(out.dtype)
+    dqkv, dscalep, dbiasp = fwa._pk_bwd_stats(qkv, scale, p_st, gc,
+                                              h, nW, 1024, hg,
+                                              interpret=True)
+    hgr = hg or h
+    ng = h // hgr
+    dscale = jnp.sum(dscalep.reshape(h, N), axis=1)
+    dbias = dbiasp.reshape(ng, N, hgr, N).transpose(0, 2, 1, 3).reshape(
+        h, N, N)
+    rr = lambda *a: (_ref_attn(a[0], a[1], a[2], mask, h)  # noqa: E731
+                     * gc.astype(jnp.float32)).sum()
+    gr = jax.grad(rr, argnums=(0, 1, 2))(qkv, scale, bias16)
+    for a, b in zip((dqkv, dscale, dbias), gr):
+        m = float(jnp.abs(b.astype(jnp.float32)).max())
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),
-            atol=tol * max(mag, 1.0))
+            atol=3e-2 * max(m, 1.0))
 
 
 GROUPED_CASES = [
