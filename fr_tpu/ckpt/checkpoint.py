@@ -45,12 +45,75 @@ def latest_step(save_dir: str) -> Optional[int]:
 def restore_train_state(save_dir: str, abstract_state,
                         step: Optional[int] = None):
     """Restore with the target pytree's shardings/dtypes (abstract_state =
-    a state pytree, e.g. freshly initialised)."""
+    a state pytree, e.g. freshly initialised).
+
+    If the head-table shapes differ between the checkpoint and the target —
+    `PFCConfig.num_classes_padded` scales with `sample_block`, so a run
+    saved under one sample_block setting has differently-padded pfc tensors
+    than a restore under another — the pfc leaves are migrated by
+    padding/truncating the class-axis padding tail. That is lossless:
+    padding rows are masked out of the softmax and excluded from sampling
+    (heads/partial_fc.py shard_valid_mask / sample_groups), so they carry
+    no trained information. Any other shape mismatch still fails loudly.
+    """
     import orbax.checkpoint as ocp
     path = _ckpt_dir(save_dir)
     with ocp.CheckpointManager(path) as mgr:
         step = mgr.latest_step() if step is None else step
-        return mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+        try:
+            return mgr.restore(step,
+                               args=ocp.args.StandardRestore(abstract_state))
+        except Exception:
+            raw = mgr.restore(step)
+    return _migrate_pfc_padding(raw, abstract_state)
+
+
+def _pad_or_truncate_rows(arr: np.ndarray, rows: int) -> np.ndarray:
+    if arr.shape[0] >= rows:
+        return arr[:rows]
+    pad = np.zeros((rows - arr.shape[0],) + arr.shape[1:], arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def _migrate_pfc_padding(raw, abstract_state):
+    """Map a raw (nested-dict) orbax restore onto abstract_state, allowing
+    class-axis-0 size differences ONLY inside the pfc subtree (padding-tail
+    migration across sample_block settings); see restore_train_state."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    target = serialization.to_state_dict(abstract_state)
+
+    def walk(r, t, path, in_pfc):
+        if isinstance(t, dict):
+            if not isinstance(r, dict) or set(r) != set(t):
+                raise ValueError(
+                    f"checkpoint/state structure mismatch at '{path}': "
+                    f"{sorted(r) if isinstance(r, dict) else type(r)} vs "
+                    f"{sorted(t)}")
+            return {k: walk(r[k], t[k], f"{path}/{k}", in_pfc or k == "pfc")
+                    for k in t}
+        r_arr = np.asarray(r)
+        t_shape = tuple(np.shape(t))
+        if r_arr.shape == t_shape:
+            return r_arr
+        if (in_pfc and r_arr.ndim == len(t_shape) and r_arr.ndim >= 1
+                and r_arr.shape[1:] == t_shape[1:]):
+            return _pad_or_truncate_rows(r_arr, t_shape[0])
+        raise ValueError(
+            f"checkpoint/state shape mismatch at '{path}': {r_arr.shape} vs "
+            f"{t_shape} (only pfc class-axis padding differences are "
+            f"migratable)")
+
+    migrated = walk(raw, target, "", False)
+    out = serialization.from_state_dict(abstract_state, migrated)
+    return jax.tree.map(
+        lambda v, ref: (jax.device_put(jnp.asarray(v, getattr(ref, "dtype",
+                                                              None)),
+                                       ref.sharding)
+                        if hasattr(ref, "sharding") else jnp.asarray(v)),
+        out, abstract_state)
 
 
 # ---------------------------------------------------------------------------

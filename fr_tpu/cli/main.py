@@ -102,8 +102,17 @@ def build_conf(args):
 
 def make_save_dir(args, conf) -> Path:
     # timestamped run dir (reference main/main.py:108-117)
+    prefix = f"{conf.network}_{conf.loss}_"
+    if getattr(args, "resume", False):
+        # --resume must land in the PREVIOUS run's dir (orbax state lives
+        # there); a fresh timestamped dir would silently restart from 0.
+        # Pick the newest matching run under save_root if one exists.
+        prior = sorted(Path(args.save_root).glob(f"{prefix}*"))
+        if prior:
+            print(f"--resume: reusing run dir {prior[-1]}")
+            return prior[-1]
     stamp = time.strftime("%Y%m%d_%H%M%S")
-    save = Path(args.save_root) / f"{conf.network}_{conf.loss}_{stamp}"
+    save = Path(args.save_root) / f"{prefix}{stamp}"
     save.mkdir(parents=True, exist_ok=True)
     logger = save / "log.txt"
     # full resolved config dump (reference main/main.py:129-136)

@@ -72,10 +72,10 @@ class PFCConfig:
     @property
     def num_classes_padded(self) -> int:
         """NOTE: scales with sample_block, so the head weight/slot shapes
-        differ between sample_block settings — a checkpoint trained with one
-        sample_block cannot be restored under another unless only the padding
-        tail differs (restore surfaces the shape mismatch; re-export via
-        utils/torch_export or npz, which strip padding, to migrate)."""
+        differ between sample_block settings. ckpt.restore_train_state
+        migrates across that automatically (pads/truncates the padding
+        tail, which is masked + unsampled and therefore inert); .pth/npz
+        export strips padding entirely."""
         m = self.model_size * max(1, self.sample_block)
         return ((self.num_classes + m - 1) // m) * m
 

@@ -60,6 +60,66 @@ def test_full_state_roundtrip_and_resume(tmp_path):
                                   np.asarray(cont.pfc.weight))
 
 
+def test_restore_migrates_sample_block_padding(tmp_path):
+    """A checkpoint saved under one sample_block can be restored under
+    another: num_classes_padded scales with sample_block (ADVICE r3), so the
+    pfc head tables differ only in their masked/unsampled padding tail —
+    restore_train_state pads/truncates that tail instead of failing."""
+    conf = _conf("SGD", sample_rate=0.5)
+    mesh = make_mesh(data=2, model=4)
+    enc = TinyEncoder()
+
+    pfc1 = _pfc_cfg(conf, 4)                       # sample_block=1: pad 40
+    state1 = init_train_state(jax.random.key(0), conf, enc, pfc1, IMG)
+    step1 = make_train_step(conf, mesh, enc, pfc1, donate=False)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, IMG, IMG, 3)).astype(np.float32)
+    y = rng.integers(0, NCLS, 16).astype(np.int32)
+    xs, ys = shard_batch(mesh, x, y)
+    for _ in range(3):
+        state1, _ = step1(state1, xs, ys, 0.05, jax.random.key(1))
+    save_train_state(str(tmp_path), state1, 3)
+
+    import dataclasses
+    pfc4 = dataclasses.replace(_pfc_cfg(conf, 4), sample_block=4)  # pad 48
+    assert pfc4.num_classes_padded != pfc1.num_classes_padded
+    state4 = init_train_state(jax.random.key(9), conf, enc, pfc4, IMG)
+    step4 = make_train_step(conf, mesh, enc, pfc4, donate=False)
+    # one step so the abstract state carries the step's mesh shardings
+    state4, _ = step4(state4, xs, ys, 0.05, jax.random.key(2))
+    restored = restore_train_state(str(tmp_path), state4)
+    assert restored.pfc.weight.shape == state4.pfc.weight.shape
+    # every real class row survives bit-exactly; the new tail is zeros
+    np.testing.assert_array_equal(np.asarray(restored.pfc.weight)[:NCLS],
+                                  np.asarray(state1.pfc.weight)[:NCLS])
+    np.testing.assert_array_equal(
+        np.asarray(restored.pfc.weight)[pfc1.num_classes_padded:], 0.0)
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the migrated state trains (finite loss) under the new sample_block
+    restored, m = step4(restored, xs, ys, 0.05, jax.random.key(2))
+    assert np.isfinite(float(m["loss"]))
+
+    # truncation direction: block=4 checkpoint back into a block=1 state
+    save_train_state(str(tmp_path / "b4"), restored, 4)
+    back = restore_train_state(str(tmp_path / "b4"),
+                               init_train_state(jax.random.key(3), conf,
+                                                enc, pfc1, IMG))
+    np.testing.assert_array_equal(np.asarray(back.pfc.weight)[:NCLS],
+                                  np.asarray(restored.pfc.weight)[:NCLS])
+
+    # non-pfc mismatches still fail loudly
+    from fr_tpu.ckpt.checkpoint import _migrate_pfc_padding
+    bad = jax.tree.map(np.asarray, state1)
+    bad = bad.replace(params=jax.tree.map(
+        lambda a: np.zeros((a.shape[0] + 1,) + a.shape[1:], a.dtype)
+        if a.ndim else a, bad.params))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        from flax import serialization
+        _migrate_pfc_padding(serialization.to_state_dict(bad), state1)
+
+
 def test_encoder_export_import_roundtrip(tmp_path):
     from fr_tpu.models.resnet import build_resnet
     conf = Config(network="ResNet18", emd_size=64, mixed_precision=False)

@@ -34,6 +34,31 @@ def test_cli_train_synthetic(tmp_path, monkeypatch):
     assert len(losses) == 6 and all(np.isfinite(losses))
 
 
+def test_cli_resume_reuses_run_dir(tmp_path, monkeypatch):
+    """--resume must land in the PREVIOUS timestamped run dir (where the
+    orbax state lives) and continue from its checkpoint instead of silently
+    restarting a fresh run at epoch 0."""
+    monkeypatch.chdir(tmp_path)
+    args = [
+        "--config", "lfw", "--mode", "train", "--network", "ResNet18",
+        "--synthetic", "--synthetic_classes", "8", "--img_size", "16",
+        "--batch", "8", "--save_root", str(tmp_path / "save"),
+    ]
+    # lfw save_epoch=10 → full-state checkpoint at epoch 10 of 12
+    cli_main(args + ["--num_epoch", "12"])
+    runs = list((tmp_path / "save").iterdir())
+    assert len(runs) == 1 and (runs[0] / "state").exists()
+
+    cli_main(args + ["--num_epoch", "14", "--resume"])
+    runs = list((tmp_path / "save").iterdir())
+    assert len(runs) == 1, "resume must not create a second run dir"
+    log = (runs[0] / "log.txt").read_text()
+    assert "resumed at epoch 10" in log
+    # epochs 11-14 trained after resume; loss stays finite
+    losses = [float(m) for m in re.findall(r"Train Loss: ([\d.]+)", log)]
+    assert len(losses) == 12 + 4 and all(np.isfinite(losses))
+
+
 def test_cli_train_folder_and_checkpoint(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     data = tmp_path / "data"
