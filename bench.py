@@ -110,10 +110,13 @@ def ensure_packed_corpus(path: str, n: int = 4096, img_size: int = 112,
     Replaced by a real `pack_dataset` output via BENCH_PACKED when one is.
     Returns "user" if images.npy already existed at `path`, else generates
     the corpus and returns "synthetic" (ADVICE r3: a typo'd real-corpus path
-    must be visible in the row output, not silently fabricated)."""
+    must be visible in the row output, not silently fabricated). A marker
+    file tags fabricated corpora so re-runs that find the previous run's
+    leftover on disk don't mislabel it "user"."""
     images_f = os.path.join(path, "images.npy")
+    marker_f = os.path.join(path, "SYNTHETIC_BENCH_CORPUS")
     if os.path.exists(images_f):
-        return "user"
+        return "synthetic" if os.path.exists(marker_f) else "user"
     print(f"bench: no packed corpus at {path} — generating a synthetic "
           f"{n}-image one (row will be marked corpus=synthetic)",
           file=sys.stderr)
@@ -128,6 +131,8 @@ def ensure_packed_corpus(path: str, n: int = 4096, img_size: int = 112,
             rng.integers(0, n_classes, n).astype(np.int32))
     with open(os.path.join(path, "classes.json"), "w") as fh:
         json.dump([str(i) for i in range(n_classes)], fh)
+    with open(marker_f, "w") as fh:
+        fh.write("generated by bench.py ensure_packed_corpus\n")
     return "synthetic"
 
 
