@@ -54,15 +54,16 @@ PACKED_LANE_CAP = 288
 def pick_head_group(num_heads: int, n_tokens: int) -> int:
     """Head-group size for fused_window_attention_packed, or 0 for the
     per-head kernel. Full pack wins at every AlterNet shape (heads·N ≤
-    288). At the Swin/EffiAlter N=49 shapes every packed variant measured
-    a tie or a loss across repeated clean runs (ROUND4_NOTES.md): full
-    pack at sw3 (392 lanes) ~1.08 vs per-head ~0.97 ms f+b (masked 1.12
-    vs 0.92), and at sw4 both the full pack and the hg=8 two-group split
-    land within noise of per-head (~0.54 vs ~0.53) while smaller groups
-    lose outright (the unrolled group loop stacks each group's score
-    tensors in Mosaic's scoped VMEM: sw3 g2/g4 = 2.86/1.53 ms, sw4 g2/g4
-    = 1.44/0.74). So: pack when heads·N ≤ 288, per-head otherwise; the
-    head-grouped machinery stays as a tested, documented negative."""
+    288). At the Swin/EffiAlter N=49 shapes every packed variant loses —
+    re-measured under the FIXED probe (value_and_grad, all leaves
+    consumed) with stored-stats backwards on both arms (ROUND4_NOTES.md):
+    full pack at sw3 (392 lanes) 1.51 vs per-head 1.39 ms f+b, at sw4
+    0.825 vs 0.652 (masked 0.830 vs 0.786); earlier backward-only
+    measurements had already shown the hg<heads group splits losing
+    outright (the unrolled group loop stacks each group's score tensors
+    in Mosaic's scoped VMEM: sw3 g2/g4 = 2.86/1.53 ms) and the grid-axis
+    variant losing too. So: pack when heads·N ≤ 288, per-head otherwise;
+    the head-grouped machinery stays as a tested, documented negative."""
     if num_heads * n_tokens <= PACKED_LANE_CAP:
         return num_heads
     return 0
