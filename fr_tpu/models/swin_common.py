@@ -16,6 +16,7 @@ nets/AlterNet_SwinV2_FAN.py:156-450 and nets/SwinV2.py:35-300):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -298,22 +299,70 @@ class WindowAttention(nn.Module):
         N = self.window[0] * self.window[1]
         m = jnp.asarray(mask) if mask is not None else None
         hg = pick_head_group(self.num_heads, N)
+        stats = attention_stats_inmodel()
         if self.packed and hg:
             from fr_tpu.ops.fused_window_attn import (
                 fused_window_attention_packed)
             return fused_window_attention_packed(
                 qkv_w, scale.reshape(self.num_heads), bias16,
                 self.num_heads, nW, m, self.block_rows,
-                False, self.dtype, hg)
+                False, self.dtype, hg, stored_stats=stats)
         from fr_tpu.ops.fused_window_attn import fused_window_attention
         return fused_window_attention(
             qkv_w, scale.reshape(self.num_heads), bias16,
-            self.num_heads, nW, m, self.block_rows, self.dtype)
+            self.num_heads, nW, m, self.block_rows, self.dtype,
+            stored_stats=stats)
 
 
-def make_window_attention(dim, window, heads, dtype, remat: bool = True,
+def attention_stats_inmodel() -> bool:
+    """Whether the MODEL passes stored_stats=True to the fused attention.
+
+    Default False (recompute backward): although the stored-stats backward
+    kernels are probe-proven faster than the recompute backward at every
+    shipping shape (ROUND4_NOTES.md tables), IN-MODEL they net zero to
+    negative, for a structural reason measured three ways:
+
+    - Under nn.remat(prevent_cse=False) the recompute path's primal and
+      replayed forward are IDENTICAL custom-calls, so XLA CSEs them back
+      into one (the swin50 trace shows exactly one fwd call per block).
+      The stats forward is a DIFFERENT kernel, CSE cannot merge it with
+      the primal's stat-free call, and the model pays one full extra
+      forward per attention — swin50 same-ambient bench A/B: 38.46/38.62
+      ms stats-on vs 38.42/38.67 stats-off (wash).
+    - Dropping remat instead (stats fwd_rule runs once, stats flow
+      straight to the backward) does realise the kernel delta — swin50
+      device time 36.86 vs 36.97 ms, attention family 14.67 → 13.41 — but
+      the shorter backward exposes previously-hidden param-staging
+      copy-done waits (+1.31 ms copy/layout), netting ~0.1 ms.
+    - On the packed AlterNet shapes the no-remat stats arm outright LOSES:
+      alternet50 same-ambient 37.07 ms vs 34.97 recompute (the large
+      saved qkv + packed-stats residuals displace the prefetch schedule).
+
+    FR_ATTN_STORED_STATS=1 opts the model in (A/B switch); direct callers
+    of the ops (probes, tests, user code without remat) keep the op-level
+    stored_stats=True default, where the kernel win is real.
+    """
+    return os.environ.get("FR_ATTN_STORED_STATS") == "1"
+
+
+def attention_remat_default() -> bool:
+    """Remat the attention module unless the model opted into stored stats.
+
+    With the recompute backward, nn.remat(prevent_cse=False) is free (CSE
+    merges primal and replay — see attention_stats_inmodel). When stats
+    are forced on in-model, remat must come OFF so the stats forward runs
+    once; FR_ATTN_REMAT=0/1 forces the choice independently.
+    """
+    forced = os.environ.get("FR_ATTN_REMAT")
+    if forced in ("0", "1"):
+        return forced == "1"
+    return not attention_stats_inmodel()
+
+
+def make_window_attention(dim, window, heads, dtype,
+                          remat: Optional[bool] = None,
                           fused: bool = True, block_rows: int = 1024):
-    """WindowAttention factory, rematerialised by default.
+    """WindowAttention factory; remat defaults to attention_remat_default().
 
     Attention intermediates dominate the transformer blocks' HBM traffic on
     TPU (the f32 score tensors alone are ~42 MB per stage-2 block at b=128;
@@ -322,7 +371,11 @@ def make_window_attention(dim, window, heads, dtype, remat: bool = True,
     18.9 MB input instead of round-tripping every intermediate; the extra
     FLOPs are negligible (the attention GEMMs are ~1.4 GFLOP/step total).
     prevent_cse=False is the under-jit setting (no CSE hazard, better code).
+    See attention_remat_default for why the stored-stats backward turns
+    remat OFF.
     """
+    if remat is None:
+        remat = attention_remat_default()
     cls = nn.remat(WindowAttention, prevent_cse=False) if remat \
         else WindowAttention
     # pin the auto-name the un-lifted class would get, so parameter paths

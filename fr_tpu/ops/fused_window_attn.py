@@ -1550,9 +1550,13 @@ def fused_window_attention_packed(qkv: jnp.ndarray, scale: jnp.ndarray,
     stored_stats=True (default) makes the DIFFERENTIATED forward store the
     packed softmax probabilities so the backward skips the whole score
     recompute (see the _pk_fwd_body_stats section comment); the primal
-    (no-grad) path always runs the stat-free kernel, and
-    FR_ATTN_STORED_STATS=0 is the in-model A/B kill-switch shared with the
-    per-head op."""
+    (no-grad) path always runs the stat-free kernel. The default serves
+    DIRECT value_and_grad callers (probe-proven faster at every shipping
+    shape); the MODEL passes stored_stats=False because under its
+    nn.remat(prevent_cse=False) wrapper the stats forward breaks the
+    primal/replay CSE and nets zero-to-negative end-to-end — measured
+    three ways in swin_common.attention_stats_inmodel's docstring.
+    FR_ATTN_STORED_STATS=0/1 forces the arm everywhere (A/B switch)."""
     return _pk_fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
                    block_rows, interpret, out_dtype, head_group)
 
@@ -2067,8 +2071,11 @@ def fused_window_attention(qkv: jnp.ndarray, scale: jnp.ndarray,
     anyway (VERDICT r3 next #2, same plumbing as the packed kernel).
     stored_stats: under differentiation, save per-head softmax stats in
     the forward and skip the score/softmax recompute in the backward —
-    measured faster at every N=49 shape (ROUND4_NOTES.md); the primal
-    (no-grad) path is unchanged."""
+    measured faster at every N=49 shape for DIRECT value_and_grad callers
+    (ROUND4_NOTES.md); the primal (no-grad) path is unchanged. The MODEL
+    passes stored_stats=False: under its nn.remat wrapper the stats
+    forward breaks the primal/replay CSE and nets ~zero end-to-end
+    (see swin_common.attention_stats_inmodel)."""
     return _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
                 block_rows, out_dtype)
 

@@ -110,9 +110,10 @@ def main() -> int:
         fr = jax.jit(jax.value_and_grad(
             lambda q: _heads_fwd(q, scale, bias16, mask, h, dt).sum()))
         orf, gr = fr(qkv)
-        # stored=True is the production default (packed-softmax-store
-        # backward); the recompute arm is re-asserted on the first config
-        # so both real Mosaic lowerings stay parity-covered
+        # stored=True is the op default for direct value_and_grad callers
+        # (the MODEL uses the recompute arm — swin_common.
+        # attention_stats_inmodel); the recompute arm is re-asserted on the
+        # first config so both real Mosaic lowerings stay parity-covered
         for stored in ((True, False) if C == 128 else (True,)):
             fk = jax.jit(jax.value_and_grad(
                 lambda q, s=stored: fused_window_attention_packed(

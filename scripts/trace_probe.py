@@ -65,7 +65,7 @@ def main():
         state, m = step(state, xs, ys, lr, key)
         float(np.asarray(m["loss"]))
 
-    trace_dir = "/tmp/fr_trace"
+    trace_dir = os.environ.get("TRACE_DIR", "/tmp/fr_trace")
     os.system(f"rm -rf {trace_dir}")
     with jax.profiler.trace(trace_dir):
         for _ in range(3):

@@ -182,8 +182,9 @@ def test_packed_interpret_matches_unfused(B_, N, C, h, nW, masked, dt, tol):
     r = lambda *a: _ref_attn(a[0], a[1], a[2], mask, h).sum()  # noqa: E731
     gr = jax.grad(r, argnums=(0, 1, 2))(qkv, scale, bias16)
     # both backward arms under the interpreter: stored_stats=False is the
-    # recompute kernel (_pk_bwd_body), True the packed-softmax-store pair
-    # (_pk_fwd_body_stats/_pk_bwd_body_stats) the model path defaults to
+    # recompute kernel (_pk_bwd_body, the model default), True the
+    # packed-softmax-store pair (_pk_fwd_body_stats/_pk_bwd_body_stats,
+    # the op default for direct callers)
     for stored in (False, True):
         f = lambda *a: fused_window_attention_packed(  # noqa: E731
             a[0], a[1], a[2], h, nW, mask, 1024, True,
@@ -594,3 +595,27 @@ def test_entry_fused_allkernel_bwd_interpret(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(bb, np.float32),
             atol=5e-5 * max(m, 1.0), err_msg=name)
+
+
+def test_inmodel_stats_and_remat_defaults(monkeypatch):
+    """The MODEL defaults to the recompute backward (stored-stats nets
+    zero-to-negative under nn.remat — swin_common.attention_stats_inmodel
+    docstring); FR_ATTN_STORED_STATS=1 opts in and turns remat off so the
+    stats forward runs once; FR_ATTN_REMAT overrides remat independently."""
+    from fr_tpu.models.swin_common import (attention_remat_default,
+                                           attention_stats_inmodel)
+
+    monkeypatch.delenv("FR_ATTN_STORED_STATS", raising=False)
+    monkeypatch.delenv("FR_ATTN_REMAT", raising=False)
+    assert not attention_stats_inmodel()
+    assert attention_remat_default()
+
+    monkeypatch.setenv("FR_ATTN_STORED_STATS", "1")
+    assert attention_stats_inmodel()
+    assert not attention_remat_default()
+
+    monkeypatch.setenv("FR_ATTN_REMAT", "1")
+    assert attention_remat_default()
+    monkeypatch.setenv("FR_ATTN_REMAT", "0")
+    monkeypatch.setenv("FR_ATTN_STORED_STATS", "0")
+    assert not attention_remat_default()
