@@ -44,7 +44,7 @@ import time
 import numpy as np
 
 ROWS = ("r100_synthetic", "r100_realdata", "alternet50", "swin50",
-        "effialter_m", "webface42m_head")
+        "effialter_m", "webface42m_head", "embed_r100")
 
 # Every env var that defines WHAT a row measures. _row_env pins each of
 # these for every row (ADVICE r3 medium: user-exported workload vars —
@@ -54,7 +54,7 @@ WORKLOAD_VARS = {
     "BENCH_NETWORK": "ResNet100", "BENCH_BATCH": "256",
     "BENCH_CLASSES": "86690", "BENCH_SAMPLE_RATE": "0.3",
     "BENCH_SAMPLE_BLOCK": "1", "BENCH_PACKED": "", "BENCH_AUGMENT": "0",
-    "BENCH_DEVICE_CORPUS": "0", "BENCH_FUSED": "0",
+    "BENCH_DEVICE_CORPUS": "0", "BENCH_FUSED": "0", "BENCH_MODE": "train",
 }
 
 
@@ -88,6 +88,11 @@ def _row_env(row: str) -> dict:
         env.update({"BENCH_NETWORK": "Swin50", "BENCH_BATCH": "128"})
     elif row == "effialter_m":
         env.update({"BENCH_NETWORK": "EffiAlter_m", "BENCH_BATCH": "128"})
+    elif row == "embed_r100":
+        # THE eval path (make_embed_step: eval-mode encoder + L2-normalised
+        # embeddings) — the quantity the reference CUDA-event-times but never
+        # publishes (model/FR_PartialFC.py:204-218)
+        env.update({"BENCH_MODE": "embed"})
     elif row == "webface42m_head":
         # sample_block=64 (default): block-aligned negative sampling + the
         # Pallas grouped gather / in-place update kernels
@@ -136,8 +141,87 @@ def ensure_packed_corpus(path: str, n: int = 4096, img_size: int = 112,
     return "synthetic"
 
 
+def run_embed_workload():
+    """Time the eval/embedding path (make_embed_step — eval-mode encoder,
+    L2-normalised embeddings; THE path FaceRecognitionTask validation and
+    cross-test use). Forward-only roofline: vs_baseline uses the same
+    occupancy-aware achievable bound as the train rows, at 1× fwd FLOPs.
+    TPU execution is in-order, so fetching the last batch's embedding
+    value synchronises the whole timed span (block_until_ready returns
+    early on axon)."""
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs("/root/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from fr_tpu.configs import load_config
+    from fr_tpu.models import build_encoder
+    from fr_tpu.parallel import make_mesh
+    from fr_tpu.train.step import make_embed_step, shard_eval_batch
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    network = os.environ.get("BENCH_NETWORK", "ResNet100")
+    steps = int(os.environ.get("BENCH_STEPS", "40"))
+
+    conf = load_config("ms1m_arcface_122", network=network)
+    conf.mixed_precision = True
+    mesh = make_mesh()
+    n_chips = mesh.devices.size
+
+    encoder = build_encoder(conf)
+    x0 = jnp.zeros((batch, conf.img_size, conf.img_size, 3), jnp.float32)
+    variables = jax.jit(lambda k: encoder.init(k, x0, train=False))(
+        jax.random.key(0))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    embed = make_embed_step(conf, mesh, encoder)
+
+    achievable_s = None
+    try:
+        from fr_tpu.utils.flops import achievable_mxu_seconds
+        acct_conf = type(conf)(**{**dict(conf), "fused_attn": False})
+        acct_enc = build_encoder(acct_conf)
+        fwd_fn = lambda p, b, im: acct_enc.apply(  # noqa: E731
+            {"params": p, "batch_stats": b}, im, train=False)
+        achievable_s = achievable_mxu_seconds(
+            fwd_fn, peak_bf16_tflops() * 1e12, params, batch_stats,
+            x0.astype(jnp.bfloat16), backward=False)
+    except Exception:
+        pass
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(
+        (batch, conf.img_size, conf.img_size, 3)).astype(np.float32)
+    xs = shard_eval_batch(mesh, x)
+    emb = embed(params, batch_stats, xs)
+    float(np.asarray(emb[0, 0]))  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        emb = embed(params, batch_stats, xs)
+    assert np.isfinite(float(np.asarray(emb[0, 0])))
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * steps / dt
+    vs_achievable = None
+    if achievable_s:
+        vs_achievable = imgs_per_sec / (batch / achievable_s * n_chips)
+    return {
+        "metric": f"{network} eval embedding throughput "
+                  f"(b={batch}, eval-mode BN, L2-normalised, bf16)",
+        "value": round(imgs_per_sec / n_chips, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(vs_achievable, 4) if vs_achievable else None,
+        "vs_naive_roofline": None,
+        "step_ms": round(batch / imgs_per_sec * 1e3, 2),
+    }
+
+
 def run_workload():
     """Run ONE workload (configured by env vars) and return its row dict."""
+    if os.environ.get("BENCH_MODE", "train") == "embed":
+        return run_embed_workload()
     import jax
     import jax.numpy as jnp
 

@@ -132,16 +132,18 @@ def _eqn_dtype_penalty(eqn) -> float:
     return _F32_HIGHEST_PASSES
 
 
-def achievable_mxu_seconds(fn, peak_flops: float, *args, **kwargs) -> float:
-    """Lower bound on fwd+bwd MXU seconds for one call of fn(*args) on a chip
+def achievable_mxu_seconds(fn, peak_flops: float, *args,
+                           backward: bool = True, **kwargs) -> float:
+    """Lower bound on MXU seconds for one call of fn(*args) on a chip
     with `peak_flops` bf16 FLOP/s, under the occupancy model above. fn is the
-    *forward* computation; backward cost is derived per-op (dgrad + wgrad for
-    convs, 2 sibling dots for dot_general)."""
+    *forward* computation; with backward=True (default) the backward cost is
+    derived per-op (dgrad + wgrad for convs, 2 sibling dots for dot_general);
+    backward=False bounds inference/eval (the embed path)."""
     jaxpr = jax.make_jaxpr(fn, **kwargs)(*args)
-    return _walk_time(jaxpr.jaxpr) / peak_flops
+    return _walk_time(jaxpr.jaxpr, backward) / peak_flops
 
 
-def _walk_time(jaxpr) -> float:
+def _walk_time(jaxpr, backward: bool = True) -> float:
     total = 0.0
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
@@ -155,7 +157,7 @@ def _walk_time(jaxpr) -> float:
             # fwd + two backward dots (d/dA and d/dB); their contraction
             # depths differ but are ≥ min(m,n,k) which is large for every
             # dot in these nets — keep occupancy 1.0 on the backward
-            total += pen * (f / occ + 2.0 * f)
+            total += pen * (f / occ + (2.0 * f if backward else 0.0))
         elif name == "conv_general_dilated":
             f = _conv_flops(eqn)
             rhs = eqn.invars[1].aval.shape
@@ -167,25 +169,27 @@ def _walk_time(jaxpr) -> float:
             occ_fwd = min(k_eff, 128) / 128.0
             occ_bwd = min(cout, 128) / 128.0
             pen = _eqn_dtype_penalty(eqn)
-            t = f / occ_fwd + f / occ_bwd            # fwd + wgrad
-            if cin >= 8:                              # dgrad (skip stem)
-                t += f / occ_bwd
+            t = f / occ_fwd
+            if backward:
+                t += f / occ_bwd                      # wgrad
+                if cin >= 8:                          # dgrad (skip stem)
+                    t += f / occ_bwd
             total += pen * t
         elif name == "scan":
             total += eqn.params["length"] * _walk_time(
-                eqn.params["jaxpr"].jaxpr)
+                eqn.params["jaxpr"].jaxpr, backward)
         elif name == "while":
-            total += _walk_time(eqn.params["body_jaxpr"].jaxpr)
+            total += _walk_time(eqn.params["body_jaxpr"].jaxpr, backward)
         elif name == "cond":
-            total += max(_walk_time(b.jaxpr)
+            total += max(_walk_time(b.jaxpr, backward)
                          for b in eqn.params["branches"])
         elif name == "pallas_call":
             total += _pallas_grid_size(eqn) * _walk_time(_as_jaxpr(
-                eqn.params["jaxpr"]))
+                eqn.params["jaxpr"]), backward)
         else:
             for k in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
                 sub = eqn.params.get(k)
                 if sub is not None:
-                    total += _walk_time(_as_jaxpr(sub))
+                    total += _walk_time(_as_jaxpr(sub), backward)
                     break
     return total
