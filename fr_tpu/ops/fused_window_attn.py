@@ -61,6 +61,17 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _bf16_vjp() -> bool:
+    """FR_ATTN_BF16_VJP=1: run the per-head backward's score-shaped VJP
+    arithmetic (dp, ds and the norm-VJP products) in compute dtype instead
+    of f32. The Mosaic bwd split probe (scripts/attn_mosaic_split_probe.py,
+    ROUND4_NOTES) measured the VPU chains at ~90% of the backward's cost;
+    bf16 tiles hold 2× the elements per VPU pass. Row-reductions that feed
+    dbias/dscale accumulate in f32 (jnp.sum dtype=f32). Off by default
+    until the A/B and parity bands are recorded."""
+    return os.environ.get("FR_ATTN_BF16_VJP", "0") == "1"
+
+
 def _vma_union(*arrays):
     vma = frozenset()
     for a in arrays:
@@ -227,24 +238,40 @@ def _bwd_body(qkv_ref, scale_ref, bias_ref, mask_ref, g_ref,
         # immediately ordering was tried for scoped-VMEM relief and cost
         # AlterNet50 ~1.4 ms/step — the early store serialises against the
         # score dots; the block_rows knob handles VMEM pressure instead.)
+        # The score-shaped VJP chain dominates the kernel's cost (the
+        # Mosaic split probe puts the VPU chains at ~90% of the backward);
+        # FR_ATTN_BF16_VJP=1 runs dp and the ds chain in compute dtype
+        # (2x elements per VPU tile pass), with every reduction that feeds
+        # dbias/dscale still accumulating f32.
+        bf16v = _bf16_vjp()
+        acc = compute if bf16v else jnp.float32
+        # Mosaic requires 32-bit matmul accumulators ('tpu.matmul op
+        # Expected matmul acc to be 32-bit'); the bf16 chain starts with a
+        # post-dot cast instead
         dp = lax.dot_general(g_h.astype(compute), vh,
                              (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
+        if bf16v:
+            dp = dp.astype(compute)
         dv = lax.dot_general(pc, g_h.astype(compute),
                              (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
-        # softmax VJP (f32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        # softmax VJP in acc dtype; row-sum accumulates f32
+        p_acc = pc if bf16v else p
+        rs = jnp.sum(dp * p_acc, axis=-1, keepdims=True, dtype=jnp.float32)
+        ds = p_acc * (dp - rs.astype(acc))
         # s = s_raw·scale_h + bias16_h (+ mask): bias/scale grads accumulate
-        dbias_ref[h] += jnp.sum(ds, axis=0)
-        dscales.append(jnp.sum(ds * s_raw))
-        ds_raw = ds * scale[h]
-        dsc = ds_raw.astype(compute)
+        dbias_ref[h] += jnp.sum(ds, axis=0, dtype=jnp.float32)
+        dsc = (ds * scale[h].astype(acc)).astype(compute)
         # s_raw = qn·knᵀ
         dqn = lax.dot_general(dsc, knc, (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
         dkn = lax.dot_general(dsc, qnc, (((1,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
+        # dscale_h = Σ ds·s_raw ≡ Σ_c(dqn·qn)/scale_h exactly (dqn = dsc·kn,
+        # dsc = ds·scale_h — the stats kernel's identity): an hd-shaped f32
+        # pass instead of a score-shaped one
+        dscales.append(jnp.sum(dqn * qn) / scale[h])
         # l2_normalize VJP: x·rsqrt(max(Σx², eps²))
         dq = qr * (dqn - jnp.where(
             qa, qn * jnp.sum(dqn * qn, axis=-1, keepdims=True), 0.0))
