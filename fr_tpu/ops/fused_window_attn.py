@@ -188,10 +188,16 @@ def _fwd_body(qkv_ref, scale_ref, bias_ref, mask_ref, out_ref,
         if mask is not None:
             nW = mask.shape[0]
             s = (s.reshape(W // nW, nW, N, N) + mask[None]).reshape(W, N, N)
-        p = jax.nn.softmax(s, axis=-1)
-        out_ref[:, :, o:o + hd] = lax.dot_general(
-            p.astype(compute), vh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        # unnormalised-e form (the packed kernel's segC trick): divide the
+        # hd-shaped OUTPUT by the softmax denominator instead of spending a
+        # score-shaped pass on p = e/d — exact, softmax is shift-invariant
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e32 = jnp.exp(s - m)
+        d = jnp.sum(e32, axis=-1, keepdims=True)
+        out_h = lax.dot_general(
+            e32.astype(compute), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out_ref[:, :, o:o + hd] = (out_h / d).astype(out_ref.dtype)
 
 
 def _bwd_body(qkv_ref, scale_ref, bias_ref, mask_ref, g_ref,
@@ -230,36 +236,46 @@ def _bwd_body(qkv_ref, scale_ref, bias_ref, mask_ref, g_ref,
         if mask is not None:
             nW = mask.shape[0]
             s = (s.reshape(W // nW, nW, N, N) + mask[None]).reshape(W, N, N)
-        p = jax.nn.softmax(s, axis=-1)
-        pc = p.astype(compute)
+        # unnormalised-e form (exact — see _fwd_body): p never materialises;
+        # the softmax denominator d folds into the hd-shaped cotangent
+        # g' = g/d, removing the score-shaped div pass. dv = eᵀ·g' = pᵀ·g;
+        # dp' = g'·vᵀ = (g·vᵀ)/d; ds = e⊙(dp' − (Σ_j dp'⊙e)/d)
+        #            = p⊙(dp − Σ_j dp⊙p) exactly.
+        m_sh = jnp.max(s, axis=-1, keepdims=True)
+        e32 = jnp.exp(s - m_sh)
+        d = jnp.sum(e32, axis=-1, keepdims=True)
+        ec = e32.astype(compute)
 
         g_h = g[:, :, o:o + hd]              # (W, N, hd) f32 or compute
-        # out_h = p · v  →  dp = g·vᵀ, dv = pᵀ·g. (A store-each-grad-
-        # immediately ordering was tried for scoped-VMEM relief and cost
-        # AlterNet50 ~1.4 ms/step — the early store serialises against the
-        # score dots; the block_rows knob handles VMEM pressure instead.)
+        # (A store-each-grad-immediately ordering was tried for scoped-VMEM
+        # relief and cost AlterNet50 ~1.4 ms/step — the early store
+        # serialises against the score dots; the block_rows knob handles
+        # VMEM pressure instead.)
         # The score-shaped VJP chain dominates the kernel's cost (the
         # Mosaic split probe puts the VPU chains at ~90% of the backward);
-        # FR_ATTN_BF16_VJP=1 runs dp and the ds chain in compute dtype
-        # (2x elements per VPU tile pass), with every reduction that feeds
-        # dbias/dscale still accumulating f32.
+        # FR_ATTN_BF16_VJP=1 runs the ds chain in compute dtype (2x
+        # elements per VPU tile pass), with every reduction that feeds
+        # dbias/dscale still accumulating f32. Measured negative on this
+        # Mosaic (ROUND4_NOTES) — default off.
         bf16v = _bf16_vjp()
         acc = compute if bf16v else jnp.float32
+        gp = (g_h.astype(jnp.float32) * lax.reciprocal(d)).astype(compute)
         # Mosaic requires 32-bit matmul accumulators ('tpu.matmul op
         # Expected matmul acc to be 32-bit'); the bf16 chain starts with a
         # post-dot cast instead
-        dp = lax.dot_general(g_h.astype(compute), vh,
+        dp = lax.dot_general(gp, vh,
                              (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
         if bf16v:
             dp = dp.astype(compute)
-        dv = lax.dot_general(pc, g_h.astype(compute),
+        dv = lax.dot_general(ec, gp,
                              (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
-        # softmax VJP in acc dtype; row-sum accumulates f32
-        p_acc = pc if bf16v else p
-        rs = jnp.sum(dp * p_acc, axis=-1, keepdims=True, dtype=jnp.float32)
-        ds = p_acc * (dp - rs.astype(acc))
+        # softmax VJP in acc dtype; row-sums accumulate f32
+        e_acc = ec if bf16v else e32
+        rs = (jnp.sum(dp * e_acc, axis=-1, keepdims=True,
+                      dtype=jnp.float32) * lax.reciprocal(d))
+        ds = e_acc * (dp - rs.astype(acc))
         # s = s_raw·scale_h + bias16_h (+ mask): bias/scale grads accumulate
         dbias_ref[h] += jnp.sum(ds, axis=0, dtype=jnp.float32)
         dsc = (ds * scale[h].astype(acc)).astype(compute)

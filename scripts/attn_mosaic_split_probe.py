@@ -108,10 +108,16 @@ def _vpu_body(qkv_ref, scale_ref, bias_ref, g_ref, dqkv_ref, dscale_ref,
         qn, qr, qa = fwa._norm(qh)
         kn, kr, ka = fwa._norm(kh)
         # broadcast-built score stand-ins (no MXU): same shapes/dtypes as
-        # the real chain
+        # the real chain. ATTN_VPU_NO_EXP=1 swaps the exp for a multiply
+        # (same tensor shapes/passes) to price the transcendental alone.
         s = qn[:, :, :1] * kn[:, :, :1].transpose(0, 2, 1)
         s = s * scale[h] + bias16[h][None]
-        p = jax.nn.softmax(s, axis=-1)
+        if os.environ.get("ATTN_VPU_NO_EXP", "0") == "1":
+            m_sh = jnp.max(s, axis=-1, keepdims=True)
+            e = (s - m_sh) * 1.0009765625      # stand-in for exp, same pass
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+        else:
+            p = jax.nn.softmax(s, axis=-1)
         g_h = g[:, :, o:o + hd].astype(jnp.float32)
         dp = p + g_h[:, :, :1]           # score-shaped stand-in for g·vᵀ
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
