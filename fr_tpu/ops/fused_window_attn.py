@@ -302,6 +302,148 @@ def _bwd_body(qkv_ref, scale_ref, bias_ref, mask_ref, g_ref,
     dscale_ref[:] += jnp.stack(dscales).reshape(1, num_heads)
 
 
+def _attn_batched() -> bool:
+    """FR_ATTN_BATCHED=1: run the per-head kernel bodies with every head's
+    (wb, N, ·) tensor stacked on axis 0 into one (heads·wb, N, ·) tensor,
+    so the whole forward/backward is a FIXED sequence of ~12 batched ops
+    instead of num_heads unrolled chains. The Mosaic split probe localised
+    ~90% of the backward in the per-head VPU chains while XLA runs the
+    identical math (at the identical 49→128 lane padding) ~3× faster —
+    i.e. the cost is per-op composition/scheduling, not per-element work.
+    Axis-0 stacking keeps every store/slice tile-aligned (no lane
+    repacking) and leaves the MXU dots as single batched dot_generals."""
+    return os.environ.get("FR_ATTN_BATCHED", "0") == "1"
+
+
+def _stack_heads(x, C, hd, num_heads, base=0):
+    """(W, N, C-lanes) → (num_heads·W, N, hd): per-head lane slices
+    concatenated on axis 0 (the same slices the unrolled bodies take)."""
+    return jnp.concatenate(
+        [x[:, :, base + h * hd:base + (h + 1) * hd]
+         for h in range(num_heads)], axis=0)
+
+
+def _apply_scale_bias_mask(s_raw, scale, bias16, mask, num_heads, W, N):
+    """Per-head scale·s + bias (+ mask) on axis-0 slabs of the stacked
+    score tensor. Mosaic cannot broadcast a lane vector across a major
+    axis (`vector<1xh> → vector<hx1x1x1>` is an unsupported shape cast),
+    so the head-varying FMA stays a static per-head loop — 2 of the ~15
+    score-shaped passes; everything else in the batched bodies is one op."""
+    parts = []
+    for h in range(num_heads):
+        part = s_raw[h * W:(h + 1) * W] * scale[h] + bias16[h][None]
+        if mask is not None:
+            nW = mask.shape[0]
+            part = (part.reshape(W // nW, nW, N, N)
+                    + mask[None]).reshape(W, N, N)
+        parts.append(part)
+    return jnp.concatenate(parts, axis=0)
+
+
+def _fwd_body_batched(qkv_ref, scale_ref, bias_ref, mask_ref, out_ref,
+                      num_heads, compute):
+    """_fwd_body math with heads stacked on axis 0 (see _attn_batched)."""
+    qkv = qkv_ref[:]
+    W, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // num_heads
+    scale = scale_ref[0]
+    bias16 = bias_ref[:]
+    mask = mask_ref[:] if mask_ref is not None else None
+    q_st = _stack_heads(qkv, C, hd, num_heads).astype(jnp.float32)
+    k_st = _stack_heads(qkv, C, hd, num_heads, C).astype(jnp.float32)
+    v_st = _stack_heads(qkv, C, hd, num_heads, 2 * C)
+    qn, _, _ = _norm(q_st)
+    kn, _, _ = _norm(k_st)
+    s_raw = lax.dot_general(qn.astype(compute), kn.astype(compute),
+                            (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    s = _apply_scale_bias_mask(s_raw, scale, bias16, mask, num_heads, W, N)
+    m_sh = jnp.max(s, axis=-1, keepdims=True)
+    e32 = jnp.exp(s - m_sh)
+    d = jnp.sum(e32, axis=-1, keepdims=True)
+    out_st = lax.dot_general(
+        e32.astype(compute), v_st, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * lax.reciprocal(d)
+    dt = out_ref.dtype
+    for h in range(num_heads):
+        out_ref[:, :, h * hd:(h + 1) * hd] = \
+            out_st[h * W:(h + 1) * W].astype(dt)
+
+
+def _bwd_body_batched(qkv_ref, scale_ref, bias_ref, mask_ref, g_ref,
+                      dqkv_ref, dscale_ref, dbias_ref, num_heads, compute):
+    """_bwd_body math (unnormalised-e form, dscale via the norm-VJP
+    identity) with heads stacked on axis 0 — see _attn_batched."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dscale_ref[:] = jnp.zeros_like(dscale_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    qkv = qkv_ref[:]
+    W, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // num_heads
+    scale = scale_ref[0]
+    bias16 = bias_ref[:]
+    mask = mask_ref[:] if mask_ref is not None else None
+    g = g_ref[:]
+    q_st = _stack_heads(qkv, C, hd, num_heads).astype(jnp.float32)
+    k_st = _stack_heads(qkv, C, hd, num_heads, C).astype(jnp.float32)
+    v_st = _stack_heads(qkv, C, hd, num_heads, 2 * C)
+    g_st = _stack_heads(g, C, hd, num_heads)
+    qn, qr, qa = _norm(q_st)
+    kn, kr, ka = _norm(k_st)
+    qnc = qn.astype(compute)
+    knc = kn.astype(compute)
+    s_raw = lax.dot_general(qnc, knc, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    s = _apply_scale_bias_mask(s_raw, scale, bias16, mask, num_heads, W, N)
+    m_sh = jnp.max(s, axis=-1, keepdims=True)
+    e32 = jnp.exp(s - m_sh)
+    d = jnp.sum(e32, axis=-1, keepdims=True)
+    ec = e32.astype(compute)
+    gp = (g_st.astype(jnp.float32) * lax.reciprocal(d)).astype(compute)
+    dp = lax.dot_general(gp, v_st, (((2,), (2,)), ((0,), (0,))),
+                         preferred_element_type=jnp.float32)
+    dv = lax.dot_general(ec, gp, (((1,), (1,)), ((0,), (0,))),
+                         preferred_element_type=jnp.float32)
+    rs = (jnp.sum(dp * e32, axis=-1, keepdims=True, dtype=jnp.float32)
+          * lax.reciprocal(d))
+    ds = e32 * (dp - rs)
+    # per-head slab ops (lane-vector broadcasts are unsupported — see
+    # _apply_scale_bias_mask): dbias reduce, scale mult, dscale sums
+    dsc_parts = []
+    dscales = []
+    for h in range(num_heads):
+        ds_h = ds[h * W:(h + 1) * W]
+        dbias_ref[h] += jnp.sum(ds_h, axis=0, dtype=jnp.float32)
+        dsc_parts.append((ds_h * scale[h]).astype(compute))
+    dsc = jnp.concatenate(dsc_parts, axis=0)
+    dqn = lax.dot_general(dsc, knc, (((2,), (1,)), ((0,), (0,))),
+                          preferred_element_type=jnp.float32)
+    dkn = lax.dot_general(dsc, qnc, (((1,), (1,)), ((0,), (0,))),
+                          preferred_element_type=jnp.float32)
+    rd_q = jnp.sum(dqn * qn, axis=-1, keepdims=True)
+    # dscale_h = Σ ds·s_raw ≡ Σ_c(dqn·qn)/scale_h (stats-kernel identity)
+    for h in range(num_heads):
+        dscales.append(jnp.sum(rd_q[h * W:(h + 1) * W]) / scale[h])
+    dscale_ref[:] += jnp.stack(dscales).reshape(1, num_heads)
+    dq = qr * (dqn - jnp.where(qa, qn * rd_q, 0.0))
+    dk = kr * (dkn - jnp.where(
+        ka, kn * jnp.sum(dkn * kn, axis=-1, keepdims=True), 0.0))
+    dt = dqkv_ref.dtype
+    for h in range(num_heads):
+        o = h * hd
+        dqkv_ref[:, :, o:o + hd] = dq[h * W:(h + 1) * W].astype(dt)
+        dqkv_ref[:, :, C + o:C + o + hd] = \
+            dk[h * W:(h + 1) * W].astype(dt)
+        dqkv_ref[:, :, 2 * C + o:2 * C + o + hd] = \
+            dv[h * W:(h + 1) * W].astype(dt)
+
+
 def _specs(n_blocks, wb, N, C3, num_heads, has_mask, nW):
     qkv_spec = pl.BlockSpec((wb, N, C3), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -2198,12 +2340,13 @@ def _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
     args = _align_vma(*args)
     vma = _vma_union(*args)
 
+    fwd_body = _fwd_body_batched if _attn_batched() else _fwd_body
     if has_mask:
         def kernel(q, s, b, m, o):
-            _fwd_body(q, s, b, m, o, num_heads, compute)
+            fwd_body(q, s, b, m, o, num_heads, compute)
     else:
         def kernel(q, s, b, o):
-            _fwd_body(q, s, b, None, o, num_heads, compute)
+            fwd_body(q, s, b, None, o, num_heads, compute)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -2266,12 +2409,13 @@ def _bwd_rule(num_heads, n_win_per_img, block_rows, out_dtype, stored_stats,
     args = _align_vma(*args)
     vma = _vma_union(*args)
 
+    bwd_body = _bwd_body_batched if _attn_batched() else _bwd_body
     if has_mask:
         def kernel(q, s, b, m, gg, dq, dsc, db):
-            _bwd_body(q, s, b, m, gg, dq, dsc, db, num_heads, compute)
+            bwd_body(q, s, b, m, gg, dq, dsc, db, num_heads, compute)
     else:
         def kernel(q, s, b, gg, dq, dsc, db):
-            _bwd_body(q, s, b, None, gg, dq, dsc, db, num_heads, compute)
+            bwd_body(q, s, b, None, gg, dq, dsc, db, num_heads, compute)
     in_specs = _specs(grid[0], wb, N, C3, num_heads, has_mask,
                       n_win_per_img)
     in_specs.append(pl.BlockSpec((wb, N, C3 // 3), lambda i: (i, 0, 0),

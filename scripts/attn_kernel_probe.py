@@ -202,6 +202,14 @@ def run_shape(name, masked, parity=False, timing=True):
                 if os.environ.get("ATTN_PROBE_V1STATS"):
                     variants[f"v1bs br={br}"] = functools.partial(
                         _call_v1bs, heads=heads, nW=nW, block_rows=br)
+        if os.environ.get("ATTN_PROBE_BATCHED"):
+            # head-batched bodies (FR_ATTN_BATCHED, toggled per-variant in
+            # the loop below — trace happens inside each iteration)
+            variants[f"v1x br={br}"] = functools.partial(
+                _call_v1, heads=heads, nW=nW, block_rows=br)
+            if os.environ.get("ATTN_PROBE_V1BF16"):
+                variants[f"v1xb br={br}"] = functools.partial(
+                    _call_v1b, heads=heads, nW=nW, block_rows=br)
         if (hasattr(fwa, "fused_window_attention_packed")
                 and not os.environ.get("ATTN_PROBE_NO_V2")):
             variants[f"v2 br={br}"] = functools.partial(
@@ -244,6 +252,8 @@ def run_shape(name, masked, parity=False, timing=True):
         return float(err(qkv, scale, bias16))
 
     for vname, f in variants.items():
+        os.environ["FR_ATTN_BATCHED"] = "1" if vname.startswith("v1x") else "0"
+
         def _f3(q, sc, b, f=f):
             return f(q, sc, b, mask)
         pstr = ""

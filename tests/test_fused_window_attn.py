@@ -107,6 +107,93 @@ def test_v1_out_dtype_bf16():
             atol=3e-2 * max(m, 1.0))
 
 
+BATCHED_CASES = [
+    # (B_, N, C, heads, nW, masked) — the head-batched bodies
+    # (_fwd_body_batched/_bwd_body_batched: every per-head tensor stacked
+    # on axis 0, one fixed op sequence instead of num_heads unrolled
+    # chains). The interpret short-circuit in _fwd/_bwd_rule bypasses the
+    # kernel bodies off-TPU, so this drives them directly through
+    # pallas_call(interpret=True) against the unfused oracle.
+    (8, 49, 256, 8, 4, False),
+    (8, 49, 256, 8, 4, True),
+    (8, 9, 64, 4, 2, True),
+]
+
+
+@pytest.mark.parametrize("B_,N,C,h,nW,masked", BATCHED_CASES)
+def test_batched_bodies_interpret_match_oracle(B_, N, C, h, nW, masked):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from fr_tpu.ops import fused_window_attn as fwa
+
+    rng = np.random.default_rng(3)
+    qkv = jnp.asarray(rng.standard_normal((B_, N, 3 * C)), jnp.bfloat16)
+    scale = jnp.asarray(np.abs(rng.standard_normal(h)) + 1.0, jnp.float32)
+    bias16 = jnp.asarray(rng.standard_normal((h, N, N)), jnp.float32)
+    mask = (jnp.asarray(np.where(rng.random((nW, N, N)) > 0.8, -100.0, 0.0),
+                        jnp.float32) if masked else None)
+    g = jnp.asarray(rng.standard_normal((B_, N, C)), jnp.bfloat16)
+
+    wb = B_ // 2
+    grid = (B_ // wb,)
+    in_specs = fwa._specs(grid[0], wb, N, 3 * C, h, masked, nW)
+    args = [qkv, jnp.reshape(scale, (1, h)), bias16]
+    if masked:
+        args.append(mask)
+
+    if masked:
+        def fkern(q, s, b, m, o):
+            fwa._fwd_body_batched(q, s, b, m, o, h, jnp.bfloat16)
+    else:
+        def fkern(q, s, b, o):
+            fwa._fwd_body_batched(q, s, b, None, o, h, jnp.bfloat16)
+    out = pl.pallas_call(
+        fkern, grid=grid, in_specs=in_specs,
+        out_specs=pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_, N, C), jnp.float32),
+        interpret=True)(*args)
+    out_r = _ref_attn(qkv, scale, bias16, mask, h)
+    mag = float(jnp.abs(out_r).max())
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(out_r), atol=3e-2 * max(mag, 1.0))
+
+    bw_specs = list(in_specs) + [pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
+                                              memory_space=pltpu.VMEM)]
+    if masked:
+        def bkern(q, s, b, m, gg, dq, dsc, db):
+            fwa._bwd_body_batched(q, s, b, m, gg, dq, dsc, db, h,
+                                  jnp.bfloat16)
+    else:
+        def bkern(q, s, b, gg, dq, dsc, db):
+            fwa._bwd_body_batched(q, s, b, None, gg, dq, dsc, db, h,
+                                  jnp.bfloat16)
+    dqkv, dscale, dbias = pl.pallas_call(
+        bkern, grid=grid, in_specs=bw_specs,
+        out_specs=[
+            pl.BlockSpec((wb, N, 3 * C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, N, N), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B_, N, 3 * C), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, N, N), jnp.float32),
+        ],
+        interpret=True)(*(args + [g]))
+    rr = lambda *a: (_ref_attn(a[0], a[1], a[2], mask, h)  # noqa: E731
+                     * g.astype(jnp.float32)).sum()
+    gr = jax.grad(rr, argnums=(0, 1, 2))(qkv, scale, bias16)
+    for a, b in zip((dqkv, dscale.reshape(h), dbias), gr):
+        m = float(jnp.abs(b.astype(jnp.float32)).max())
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=3e-2 * max(m, 1.0))
+
+
 STATS_CASES = [
     # (B_, N, C, heads, nW, masked, out_bf16) — the stored-stats VJP (fwd
     # saves per-head p/s_raw, bwd skips the score/softmax recompute) runs
