@@ -125,6 +125,57 @@ def _pallas_grid_size(eqn) -> float:
 
 _F32_HIGHEST_PASSES = 6.0
 
+# ---------------------------------------------------------------------------
+# Per-family achievable step floors (VERDICT r4 weak #3 / next #3)
+# ---------------------------------------------------------------------------
+#
+# The achievable_mxu_seconds denominator counts the window-attention's
+# normalize/softmax/VPU work as ZERO — correct for the conv-only ResNet
+# families (their measured 0.78-0.93 closes against it), but structurally
+# unreachable for the transformer families: swin50 with its attention at the
+# measured Mosaic floor would still read ≈0.4 of "achievable", so the ≥0.95
+# north star was unfalsifiable for half the matrix. The family floor adds
+# the MEASURED best-known Mosaic kernel time for the family's attention
+# call sites — the kernel-design optimum established by the round-2..5
+# probe/A-B program (per-head vs packed vs grouped vs grid-axis vs batched
+# vs stored-stats vs unfused-jnp, each parity-tested and timed on-chip;
+# ROUND4_NOTES/ROUND5_NOTES) — to the occupancy-aware MXU bound:
+#
+#     step_floor = achievable_mxu_seconds + ATTN_KERNEL_FLOOR_MS[family]
+#
+# Provenance of the table values (all b=128, v5e, XPlane 'XLA Ops'
+# decompositions of the full training step — in-model custom-call times,
+# which match the standalone probe within noise since the round-4 probe
+# fix):
+#   AlterNet50  8.8 ms  — ROUND4_NOTES "Fresh AlterNet50 decomposition"
+#                         (packed-lane kernel, stages s2/s3/s4)
+#   Swin50     14.67 ms — ROUND4_NOTES "Swin50 decomposition" (per-head
+#                         kernel at N=49: sw3 4×(0.52+0.99), sw4
+#                         10×(0.26+0.60))
+#   EffiAlter_m 2.0 ms  — ROUND3_NOTES EffiAlter decomposition ("attention
+#                         ~2 (solved)"; its blocks are all N=49)
+# Families with no attention (ResNet*) have floor 0 — their family floor
+# IS the MXU bound and vs_family_floor coincides with vs_baseline.
+#
+# The floor scales linearly in batch (W — the window count — is the only
+# batch-dependent kernel dimension and every per-call time above is
+# throughput-bound at these W). Update the table when a kernel A/B moves
+# the measured optimum (ROUND5_NOTES records each change).
+
+ATTN_KERNEL_FLOOR_MS = {
+    "AlterNet50": 8.8,
+    "Swin50": 14.67,
+    "EffiAlter_m": 2.0,
+}
+_ATTN_FLOOR_BATCH = 128  # batch size the table was measured at
+
+
+def family_attn_floor_seconds(network: str, batch: int) -> float:
+    """Measured Mosaic attention-kernel floor for one training step of
+    `network` at `batch` (0.0 for attention-free families)."""
+    ms = ATTN_KERNEL_FLOOR_MS.get(network, 0.0)
+    return ms * 1e-3 * batch / _ATTN_FLOOR_BATCH
+
 
 def _eqn_dtype_penalty(eqn) -> float:
     if eqn.invars[0].aval.dtype == jnp.bfloat16:

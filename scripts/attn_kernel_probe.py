@@ -251,8 +251,15 @@ def run_shape(name, masked, parity=False, timing=True):
                 for x, y in zip(a, r)]))
         return float(err(qkv, scale, bias16))
 
+    # ADVICE r4: only drive FR_ATTN_BATCHED when the probe itself is doing
+    # the batched A/B (ATTN_PROBE_BATCHED set), and restore the caller's
+    # value afterwards — otherwise a shell-level FR_ATTN_BATCHED=1 A/B
+    # would be silently clobbered to the unbatched bodies.
+    prior_batched = os.environ.get("FR_ATTN_BATCHED")
     for vname, f in variants.items():
-        os.environ["FR_ATTN_BATCHED"] = "1" if vname.startswith("v1x") else "0"
+        if os.environ.get("ATTN_PROBE_BATCHED"):
+            os.environ["FR_ATTN_BATCHED"] = \
+                "1" if vname.startswith("v1x") else "0"
 
         def _f3(q, sc, b, f=f):
             return f(q, sc, b, mask)
@@ -279,6 +286,11 @@ def run_shape(name, masked, parity=False, timing=True):
         print(f"{tag:8s} {vname:14s} fwd {t_f:7.3f} ms ({t_f/ffwd:5.1f}x floor)"
               f"   fwd+bwd {t_b:7.3f} ms ({t_b/(ffwd+fbwd):5.1f}x floor)"
               f"   {pstr}", flush=True)
+    if os.environ.get("ATTN_PROBE_BATCHED"):
+        if prior_batched is None:
+            os.environ.pop("FR_ATTN_BATCHED", None)
+        else:
+            os.environ["FR_ATTN_BATCHED"] = prior_batched
 
 
 def main():
