@@ -227,7 +227,7 @@ class WindowAttention(nn.Module):
             # entry-fused packed kernel: the qkv GEMM runs inside, so qkv
             # never round-trips HBM and dW/dbias come out of the backward
             # kernel directly (ROUND4_NOTES.md entry-fusion section)
-            from fr_tpu.ops.fused_window_attn import (
+            from fr_tpu.ops.fused_window_attn_variants import (
                 fused_window_attention_packed_qkv)
             out = fused_window_attention_packed_qkv(
                 x.astype(self.dtype), qkv_kernel, bias,
@@ -236,7 +236,7 @@ class WindowAttention(nn.Module):
                 jnp.asarray(mask) if mask is not None else None,
                 self.block_rows, False, self.dtype, hg)
         elif spatial and (self.window[0], C) in SPATIAL_KERNEL_CONFIGS:
-            from fr_tpu.ops.fused_window_attn import (
+            from fr_tpu.ops.fused_window_attn_variants import (
                 fused_window_attention_spatial)
             out = fused_window_attention_spatial(
                 _qkv(x), scale.reshape(self.num_heads), bias16,
@@ -350,12 +350,12 @@ def attention_remat_default() -> bool:
 
     With the recompute backward, nn.remat(prevent_cse=False) is free (CSE
     merges primal and replay — see attention_stats_inmodel). When stats
-    are forced on in-model, remat must come OFF so the stats forward runs
-    once; FR_ATTN_REMAT=0/1 forces the choice independently.
-    """
-    forced = os.environ.get("FR_ATTN_REMAT")
-    if forced in ("0", "1"):
-        return forced == "1"
+    are forced on in-model (FR_ATTN_STORED_STATS=1), remat comes OFF so
+    the stats forward runs once — the two choices always compose, so
+    FR_ATTN_STORED_STATS is the ONE in-model A/B switch (the former
+    independent FR_ATTN_REMAT/FR_ATTN_BF16_VJP knobs were folded into the
+    ROUND4/5_NOTES measurement history; both arms of each are recorded
+    there)."""
     return not attention_stats_inmodel()
 
 

@@ -61,17 +61,6 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _bf16_vjp() -> bool:
-    """FR_ATTN_BF16_VJP=1: run the per-head backward's score-shaped VJP
-    arithmetic (dp, ds and the norm-VJP products) in compute dtype instead
-    of f32. The Mosaic bwd split probe (scripts/attn_mosaic_split_probe.py,
-    ROUND4_NOTES) measured the VPU chains at ~90% of the backward's cost;
-    bf16 tiles hold 2× the elements per VPU pass. Row-reductions that feed
-    dbias/dscale accumulate in f32 (jnp.sum dtype=f32). Off by default
-    until the A/B and parity bands are recorded."""
-    return os.environ.get("FR_ATTN_BF16_VJP", "0") == "1"
-
-
 def _vma_union(*arrays):
     vma = frozenset()
     for a in arrays:
@@ -250,35 +239,24 @@ def _bwd_body(qkv_ref, scale_ref, bias_ref, mask_ref, g_ref,
         # (A store-each-grad-immediately ordering was tried for scoped-VMEM
         # relief and cost AlterNet50 ~1.4 ms/step — the early store
         # serialises against the score dots; the block_rows knob handles
-        # VMEM pressure instead.)
-        # The score-shaped VJP chain dominates the kernel's cost (the
-        # Mosaic split probe puts the VPU chains at ~90% of the backward);
-        # FR_ATTN_BF16_VJP=1 runs the ds chain in compute dtype (2x
-        # elements per VPU tile pass), with every reduction that feeds
-        # dbias/dscale still accumulating f32. Measured negative on this
-        # Mosaic (ROUND4_NOTES) — default off.
-        bf16v = _bf16_vjp()
-        acc = compute if bf16v else jnp.float32
+        # VMEM pressure instead. A bf16 score-shaped VJP chain was measured
+        # negative twice — the extra full-tile casts cost more than the
+        # halved chain saves; ROUND4_NOTES/ROUND5_NOTES — so the chain is
+        # f32 with no knob.)
         gp = (g_h.astype(jnp.float32) * lax.reciprocal(d)).astype(compute)
-        # Mosaic requires 32-bit matmul accumulators ('tpu.matmul op
-        # Expected matmul acc to be 32-bit'); the bf16 chain starts with a
-        # post-dot cast instead
         dp = lax.dot_general(gp, vh,
                              (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
-        if bf16v:
-            dp = dp.astype(compute)
         dv = lax.dot_general(ec, gp,
                              (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
-        # softmax VJP in acc dtype; row-sums accumulate f32
-        e_acc = ec if bf16v else e32
-        rs = (jnp.sum(dp * e_acc, axis=-1, keepdims=True,
+        # softmax VJP in f32; row-sums accumulate f32
+        rs = (jnp.sum(dp * e32, axis=-1, keepdims=True,
                       dtype=jnp.float32) * lax.reciprocal(d))
-        ds = e_acc * (dp - rs.astype(acc))
+        ds = e32 * (dp - rs)
         # s = s_raw·scale_h + bias16_h (+ mask): bias/scale grads accumulate
         dbias_ref[h] += jnp.sum(ds, axis=0, dtype=jnp.float32)
-        dsc = (ds * scale[h].astype(acc)).astype(compute)
+        dsc = (ds * scale[h]).astype(compute)
         # s_raw = qn·knᵀ
         dqn = lax.dot_general(dsc, knc, (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
@@ -303,16 +281,45 @@ def _bwd_body(qkv_ref, scale_ref, bias_ref, mask_ref, g_ref,
 
 
 def _attn_batched() -> bool:
-    """FR_ATTN_BATCHED=1: run the per-head kernel bodies with every head's
-    (wb, N, ·) tensor stacked on axis 0 into one (heads·wb, N, ·) tensor,
-    so the whole forward/backward is a FIXED sequence of ~12 batched ops
-    instead of num_heads unrolled chains. The Mosaic split probe localised
+    """Batched kernel bodies (DEFAULT since round 5; FR_ATTN_BATCHED=0
+    forces the unrolled bodies as the A/B arm): every head's (wb, N, ·)
+    tensor is stacked on axis 0 into one (heads·wb, N, ·) tensor, so the
+    whole forward/backward is a FIXED sequence of ~12 batched ops instead
+    of num_heads unrolled chains. The round-4 Mosaic split probe localised
     ~90% of the backward in the per-head VPU chains while XLA runs the
     identical math (at the identical 49→128 lane padding) ~3× faster —
     i.e. the cost is per-op composition/scheduling, not per-element work.
     Axis-0 stacking keeps every store/slice tile-aligned (no lane
-    repacking) and leaves the MXU dots as single batched dot_generals."""
-    return os.environ.get("FR_ATTN_BATCHED", "0") == "1"
+    repacking) and leaves the MXU dots as single batched dot_generals.
+
+    MEASURED (round 5, real v5e, value_and_grad probe, ROUND5_NOTES.md):
+    wins at every probed shape, both IO dtypes, masked and unmasked —
+    fwd+bwd sw3 1.478→1.283 (masked 1.521→0.934), sw4 0.866→0.619
+    (masked 0.882→0.671) f32-io; bf16-io sw3 1.590→1.291, sw4 0.851→0.602
+    (masked 0.878→0.571) — and beats the round-4 stored-stats backward at
+    every N=49 shape. Parity bit-identical to the unrolled bodies.
+
+    VMEM scaling (ADVICE r4 low #3): unlike the unrolled bodies — whose
+    per-head buffers Mosaic can reuse across iterations — the batched
+    bodies keep EVERY head's (wb, N, ·) tensors live at once, so scoped
+    VMEM grows ~heads× at a given block_rows. _pick_block_batched clamps
+    the window block so the estimated live set stays well inside the
+    64 MB kernel budget."""
+    return os.environ.get("FR_ATTN_BATCHED", "1") == "1"
+
+
+def _pick_block_batched(n_windows: int, n_tokens: int, n_win_per_img: int,
+                        num_heads: int, target_rows: int) -> int:
+    """Block pick for the batched bodies: same divisibility rules as
+    _pick_block, with the window count additionally clamped so the
+    batched backward's live set — ~8 score-shaped f32 tensors of
+    (heads·wb, N, pad128(N)) plus the hd-shaped stacks — fits in ~24 MB
+    of scoped VMEM (the 64 MB kernel budget minus pipelining headroom)."""
+    pad_n = -(-n_tokens // 128) * 128
+    per_window = num_heads * n_tokens * pad_n * 4 * 8
+    allowed = max(1, (24 * 1024 * 1024) // per_window)
+    return _pick_block(n_windows, n_tokens, n_win_per_img,
+                       target_rows=min(target_rows, allowed * n_tokens))
 
 
 def _stack_heads(x, C, hd, num_heads, base=0):
@@ -405,6 +412,8 @@ def _bwd_body_batched(qkv_ref, scale_ref, bias_ref, mask_ref, g_ref,
     e32 = jnp.exp(s - m_sh)
     d = jnp.sum(e32, axis=-1, keepdims=True)
     ec = e32.astype(compute)
+    # score-shaped VJP chain in f32 (a bf16 chain was measured negative
+    # twice — see _bwd_body's note)
     gp = (g_st.astype(jnp.float32) * lax.reciprocal(d)).astype(compute)
     dp = lax.dot_general(gp, v_st, (((2,), (2,)), ((0,), (0,))),
                          preferred_element_type=jnp.float32)
@@ -456,6 +465,103 @@ def _specs(n_blocks, wb, N, C3, num_heads, has_mask, nW):
         in_specs.append(pl.BlockSpec((nW, N, N), lambda i: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
     return in_specs
+
+
+# ---------------------------------------------------------------------------
+# GSPMD partitioning for the kernels (VERDICT r4 #4 / missing #3)
+# ---------------------------------------------------------------------------
+#
+# pallas_call has no SPMD partitioning rule, so before round 5 the
+# gspmd/pjit lowering (train/step.py make_gspmd_train_step) had to clone
+# the encoder onto the jnp attention path on any multi-device mesh —
+# silently giving up the kernel wins. The window-attention kernels are
+# shard-local along the window axis by construction (every window attends
+# only within itself; scale/bias/mask are replicated constants), so
+# jax.experimental.custom_partitioning can teach GSPMD exactly that: the
+# op partitions over dim 0 of qkv/g/out with zero communication, and the
+# backward's dscale/dbias reductions psum over whatever mesh axes the
+# window dim is sharded on. The shard_map lowering never sees these
+# wrappers (its operands carry vma and take the direct pallas path);
+# interpret-mode meshes exercise the same partitioning via
+# FR_ATTN_CP_INTERPRET=1 (the multichip dryrun and tests set it — the
+# partition callbacks then run the REAL per-shard pallas program under
+# the Pallas interpreter on a CPU mesh).
+
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as _P
+
+
+def _cp_interpret() -> bool:
+    """FR_ATTN_CP_INTERPRET=1: route off-TPU calls through the
+    custom_partitioning wrappers (per-shard pallas programs under the
+    interpreter) instead of the jnp twins — so CPU meshes can execute and
+    test the GSPMD partitioning rules themselves."""
+    return os.environ.get("FR_ATTN_CP_INTERPRET", "0") == "1"
+
+
+def _make_cp(fn, in_dims, out_dims, rule, n_static):
+    """custom_partitioning wrapper for a window-local kernel entry.
+
+    in_dims / out_dims: per-operand shard dim (int), None for replicated,
+    or "sum" (outputs only) for shard-local partials that must be psummed
+    over the window axis' mesh axes. `rule` is the shardy SdyShardingRule
+    einsum string; `n_static` trailing args are static (hashable config).
+    The partition lower_fn calls `fn` per shard — the pallas grid/block
+    logic sees per-shard shapes, exactly as under shard_map."""
+    cp = custom_partitioning(
+        fn, static_argnums=tuple(range(len(in_dims), len(in_dims)
+                                       + n_static)))
+
+    def _d0(arg_shapes):
+        for s, dim in zip(arg_shapes, in_dims):
+            if dim is not None:
+                spec = s.sharding.spec
+                if len(spec) > dim and spec[dim] is not None:
+                    return spec[dim]
+        return None
+
+    def _nsh(mesh, d0, rank, dim):
+        parts = [None] * rank
+        if dim is not None and not isinstance(dim, str):
+            parts[dim] = d0
+        return NamedSharding(mesh, _P(*parts))
+
+    def _outs(mesh, d0, result_shape):
+        many = isinstance(result_shape, (list, tuple))
+        shapes = result_shape if many else [result_shape]
+        outs = tuple(_nsh(mesh, d0, len(r.shape), dim)
+                     for r, dim in zip(shapes, out_dims))
+        return outs if many else outs[0]
+
+    def infer(*a):
+        mesh, arg_shapes, result_shape = a[n_static:]
+        return _outs(mesh, _d0(arg_shapes), result_shape)
+
+    def partition(*a):
+        statics = a[:n_static]
+        mesh, arg_shapes, result_shape = a[n_static:]
+        d0 = _d0(arg_shapes)
+        arg_sh = tuple(_nsh(mesh, d0, len(s.shape), dim)
+                       for s, dim in zip(arg_shapes, in_dims))
+        axes = tuple(ax for ax in (d0 if isinstance(d0, tuple) else (d0,))
+                     if ax)
+
+        def lower(*args):
+            res = fn(*args, *statics)
+            if axes and any(d == "sum" for d in out_dims):
+                res = list(res)
+                for i, d in enumerate(out_dims):
+                    if d == "sum":
+                        res[i] = lax.psum(res[i], axes)
+                res = tuple(res)
+            return res
+
+        return mesh, lower, _outs(mesh, d0, result_shape), arg_sh
+
+    cp.def_partition(partition, infer_sharding_from_operands=infer,
+                     sharding_rule=rule)
+    return cp
+
 
 
 # ---------------------------------------------------------------------------
@@ -573,7 +679,35 @@ def _fwd_stats(qkv, scale, bias16, num_heads, n_win_per_img, mask,
                block_rows, out_dtype, interpret=None):
     """Forward emitting (out, p_stats); p_stats is f32
     (num_heads, B_, N, N). Only used under differentiation — the primal
-    path keeps the stat-free kernel."""
+    path keeps the stat-free kernel. Same GSPMD routing as _fwd: direct
+    pallas under shard_map (vma) or when the caller forces interpret;
+    custom_partitioning otherwise (p_stats shards on its window dim 1)."""
+    if (interpret is None and not _vma_union(
+            qkv, scale, bias16, *([mask] if mask is not None else []))):
+        maskd = (mask if mask is not None
+                 else jnp.zeros((1, 1, 1), jnp.float32))
+        return _fwd_stats_cp(qkv, scale, bias16, maskd, num_heads,
+                             n_win_per_img, block_rows,
+                             jnp.dtype(out_dtype or jnp.float32),
+                             mask is not None)
+    return _fwd_stats_pallas(qkv, scale, bias16, num_heads, n_win_per_img,
+                             mask, block_rows, out_dtype, interpret)
+
+
+def _fwd_stats_cp_impl(qkv, scale, bias16, maskd, num_heads, n_win_per_img,
+                       block_rows, out_dtype, has_mask):
+    return _fwd_stats_pallas(qkv, scale, bias16, num_heads, n_win_per_img,
+                             maskd if has_mask else None, block_rows,
+                             out_dtype)
+
+
+_fwd_stats_cp = _make_cp(
+    _fwd_stats_cp_impl, in_dims=(0, None, None, None), out_dims=(0, 1),
+    rule="b n c, h, i j k, u v w -> b n d, e b n2 n3", n_static=5)
+
+
+def _fwd_stats_pallas(qkv, scale, bias16, num_heads, n_win_per_img, mask,
+                      block_rows, out_dtype, interpret=None):
     B_, N, C3 = qkv.shape
     C = C3 // 3
     compute = qkv.dtype
@@ -620,6 +754,19 @@ def _fwd_stats(qkv, scale, bias16, num_heads, n_win_per_img, mask,
 
 def _bwd_stats(qkv, scale, p_st, g, num_heads, n_win_per_img,
                block_rows, interpret=None):
+    if (interpret is None
+            and not _vma_union(qkv, scale, p_st, g)):
+        return _bwd_stats_cp(qkv, scale, p_st, g, num_heads,
+                             n_win_per_img, block_rows)
+    return _bwd_stats_pallas(qkv, scale, p_st, g, num_heads, n_win_per_img,
+                             block_rows, interpret)
+
+
+_bwd_stats_cp = None  # defined after _bwd_stats_pallas below
+
+
+def _bwd_stats_pallas(qkv, scale, p_st, g, num_heads, n_win_per_img,
+                      block_rows, interpret=None):
     B_, N, C3 = qkv.shape
     compute = qkv.dtype
     if interpret is None:
@@ -666,302 +813,10 @@ def _bwd_stats(qkv, scale, p_st, g, num_heads, n_win_per_img,
     return dqkv, dscale, dbias
 
 
-# ---------------------------------------------------------------------------
-# Spatial variant: windowing absorbed into the kernel's BlockSpec indexing.
-# ---------------------------------------------------------------------------
-#
-# The windows-API kernel above still leaves window_partition/window_reverse
-# as materialised XLA transposes around every call (measured ~10 ms/step of
-# copies on AlterNet50 b=128 after v1). Since the qkv and output projections
-# are position-independent they commute with windowing, so the projections
-# run on the (B, H, W, C) layout and this kernel slices windows straight out
-# of HBM: grid (B/g, nWy), block (g, ws, W, 3C) — a row of windows for g
-# images; the (ws, nWx) shuffle happens in VMEM where relayouts are cheap.
-
-
-def _window_block(x, g, nWx, ws, last):
-    """(g, ws, nWx·ws, last) → (g·nWx, ws·ws, last), matching
-    window_partition's (img, wx) window order and row-major token order."""
-    x = x.reshape(g, ws, nWx, ws, last)
-    x = x.transpose(0, 2, 1, 3, 4)
-    return x.reshape(g * nWx, ws * ws, last)
-
-
-def _unwindow_block(w, g, nWx, ws, last):
-    """Inverse of _window_block: (g·nWx, ws·ws, last) → (g, ws, nWx·ws, last)."""
-    w = w.reshape(g, nWx, ws, ws, last)
-    w = w.transpose(0, 2, 1, 3, 4)
-    return w.reshape(g, ws, nWx * ws, last)
-
-
-def _sp_fwd_body(qkv_ref, scale_ref, bias_ref, mask_ref, out_ref,
-                 num_heads, compute, ws):
-    blk = qkv_ref[:]                     # (g, ws, W, 3C)
-    g_img, _, Wimg, C3 = blk.shape
-    nWx = Wimg // ws
-    C = C3 // 3
-    hd = C // num_heads
-    N = ws * ws
-    qkv = _window_block(blk, g_img, nWx, ws, C3)
-    scale = scale_ref[0]
-    bias16 = bias_ref[:]
-    mask = mask_ref[:] if mask_ref is not None else None
-    Wn = g_img * nWx
-    for h in range(num_heads):
-        o = h * hd
-        qh = qkv[:, :, o:o + hd].astype(jnp.float32)
-        kh = qkv[:, :, C + o:C + o + hd].astype(jnp.float32)
-        vh = qkv[:, :, 2 * C + o:2 * C + o + hd]
-        qn, _, _ = _norm(qh)
-        kn, _, _ = _norm(kh)
-        s = lax.dot_general(qn.astype(compute), kn.astype(compute),
-                            (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)
-        s = s * scale[h] + bias16[h][None]
-        if mask is not None:
-            s = (s.reshape(g_img, nWx, N, N) + mask[None]).reshape(Wn, N, N)
-        p = jax.nn.softmax(s, axis=-1)
-        o_h = lax.dot_general(p.astype(compute), vh,
-                              (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
-        out_ref[:, :, :, o:o + hd] = _unwindow_block(o_h, g_img, nWx, ws, hd)
-
-
-def _sp_bwd_body(qkv_ref, scale_ref, bias_ref, mask_ref, g_ref,
-                 dqkv_ref, dscale_ref, dbias_ref, num_heads, compute, ws):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when((i == 0) & (j == 0))
-    def _init():
-        dscale_ref[:] = jnp.zeros_like(dscale_ref)
-        dbias_ref[:] = jnp.zeros_like(dbias_ref)
-
-    blk = qkv_ref[:]
-    g_img, _, Wimg, C3 = blk.shape
-    nWx = Wimg // ws
-    C = C3 // 3
-    hd = C // num_heads
-    N = ws * ws
-    Wn = g_img * nWx
-    qkv = _window_block(blk, g_img, nWx, ws, C3)
-    gwin = _window_block(g_ref[:], g_img, nWx, ws, C)
-    scale = scale_ref[0]
-    bias16 = bias_ref[:]
-    mask = mask_ref[:] if mask_ref is not None else None
-
-    dt = dqkv_ref.dtype
-    dscales = []
-    for h in range(num_heads):
-        o = h * hd
-        qh = qkv[:, :, o:o + hd].astype(jnp.float32)
-        kh = qkv[:, :, C + o:C + o + hd].astype(jnp.float32)
-        vh = qkv[:, :, 2 * C + o:2 * C + o + hd]
-        qn, qr, qa = _norm(qh)
-        kn, kr, ka = _norm(kh)
-        qnc = qn.astype(compute)
-        knc = kn.astype(compute)
-        s_raw = lax.dot_general(qnc, knc, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
-        s = s_raw * scale[h] + bias16[h][None]
-        if mask is not None:
-            s = (s.reshape(g_img, nWx, N, N) + mask[None]).reshape(Wn, N, N)
-        p = jax.nn.softmax(s, axis=-1)
-        pc = p.astype(compute)
-
-        g_h = gwin[:, :, o:o + hd]
-        dp = lax.dot_general(g_h.astype(compute), vh,
-                             (((2,), (2,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
-        dv = lax.dot_general(pc, g_h.astype(compute),
-                             (((1,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dbias_ref[h] += jnp.sum(ds, axis=0)
-        dscales.append(jnp.sum(ds * s_raw))
-        dsc = (ds * scale[h]).astype(compute)
-        dqn = lax.dot_general(dsc, knc, (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
-        dkn = lax.dot_general(dsc, qnc, (((1,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
-        dq = qr * (dqn - jnp.where(
-            qa, qn * jnp.sum(dqn * qn, axis=-1, keepdims=True), 0.0))
-        dk = kr * (dkn - jnp.where(
-            ka, kn * jnp.sum(dkn * kn, axis=-1, keepdims=True), 0.0))
-        dqkv_ref[:, :, :, o:o + hd] = _unwindow_block(
-            dq.astype(dt), g_img, nWx, ws, hd)
-        dqkv_ref[:, :, :, C + o:C + o + hd] = _unwindow_block(
-            dk.astype(dt), g_img, nWx, ws, hd)
-        dqkv_ref[:, :, :, 2 * C + o:2 * C + o + hd] = _unwindow_block(
-            dv.astype(dt), g_img, nWx, ws, hd)
-
-    dscale_ref[:] += jnp.stack(dscales).reshape(1, num_heads)
-
-
-def _sp_pick_g(B, nWx, N):
-    """Images per program: ~512-1024 window tokens per block (the measured
-    sweet spot, see _pick_block)."""
-    target = max(1, 1024 // max(1, nWx * N))
-    g = 1
-    while g * 2 <= target and B % (g * 2) == 0:
-        g *= 2
-    return g
-
-
-def _sp_specs(g, ws, Wimg, C3, num_heads, has_mask, nWx, N):
-    in_specs = [
-        pl.BlockSpec((g, ws, Wimg, C3), lambda i, j: (i, j, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, num_heads), lambda i, j: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((num_heads, N, N), lambda i, j: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    if has_mask:
-        in_specs.append(pl.BlockSpec((nWx, N, N), lambda i, j: (j, 0, 0),
-                                     memory_space=pltpu.VMEM))
-    return in_specs
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_window_attention_spatial(qkv, scale, bias16, num_heads, ws,
-                                   mask=None):
-    """qkv (B, H, W, 3C) compute-dtype (pre-shifted for SW-MSA); scale
-    (heads,) f32; bias16 (heads, N, N) f32; mask (nWy·nWx, N, N) f32 or
-    None. Returns (B, H, W, C) f32 — window partition, attention and window
-    reverse in one kernel."""
-    return _sp_fwd(qkv, scale, bias16, num_heads, ws, mask)
-
-
-def _sp_jnp(qkv, scale, bias16, num_heads, ws, mask):
-    """Off-TPU twin: window via reshape/transpose then the windows-API
-    jnp twin."""
-    B, H, Wimg, C3 = qkv.shape
-    N = ws * ws
-    x = qkv.reshape(B, H // ws, ws, Wimg // ws, ws, C3)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, N, C3)
-    out = _heads_fwd(x, scale, bias16, mask, num_heads, qkv.dtype)
-    C = C3 // 3
-    out = out.reshape(B, H // ws, Wimg // ws, ws, ws, C)
-    return out.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, Wimg, C)
-
-
-def _sp_fwd(qkv, scale, bias16, num_heads, ws, mask):
-    if _interpret():
-        return _sp_jnp(qkv, scale, bias16, num_heads, ws, mask)
-    B, H, Wimg, C3 = qkv.shape
-    C = C3 // 3
-    N = ws * ws
-    nWx = Wimg // ws
-    nWy = H // ws
-    has_mask = mask is not None
-    g = _sp_pick_g(B, nWx, N)
-    grid = (B // g, nWy)
-
-    args = [qkv, jnp.reshape(scale, (1, num_heads)), bias16]
-    if has_mask:
-        args.append(mask)
-    args = _align_vma(*args)
-    vma = _vma_union(*args)
-    compute = qkv.dtype
-
-    if has_mask:
-        def kernel(q, s, b, m, o):
-            _sp_fwd_body(q, s, b, m, o, num_heads, compute, ws)
-    else:
-        def kernel(q, s, b, o):
-            _sp_fwd_body(q, s, b, None, o, num_heads, compute, ws)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=_sp_specs(g, ws, Wimg, C3, num_heads, has_mask, nWx, N),
-        out_specs=pl.BlockSpec((g, ws, Wimg, C), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, Wimg, C), jnp.float32,
-                                       vma=vma),
-        compiler_params=_ATTN_COMPILER_PARAMS,
-    )(*args)
-
-
-def _sp_fwd_rule(qkv, scale, bias16, num_heads, ws, mask):
-    out = _sp_fwd(qkv, scale, bias16, num_heads, ws, mask)
-    return out, (qkv, scale, bias16, mask)
-
-
-def _sp_bwd_rule(num_heads, ws, residuals, g):
-    qkv, scale, bias16, mask = residuals
-    has_mask = mask is not None
-
-    if _interpret():
-        B, H, Wimg, C3 = qkv.shape
-        N = ws * ws
-        x = qkv.reshape(B, H // ws, ws, Wimg // ws, ws, C3)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, N, C3)
-        C = C3 // 3
-        gw = g.reshape(B, H // ws, ws, Wimg // ws, ws, C)
-        gw = gw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, N, C)
-        dx, dscale, dbias = _bwd_jnp(x, scale, bias16, mask,
-                                     gw.astype(jnp.float32), num_heads)
-        dx = dx.reshape(B, H // ws, Wimg // ws, ws, ws, C3)
-        dqkv = dx.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, Wimg, C3)
-        dscale = _match_cotangent_vma(dscale, scale)
-        dbias = _match_cotangent_vma(dbias, bias16)
-        return (dqkv, dscale, dbias,
-                jnp.zeros_like(mask) if has_mask else None)
-
-    B, H, Wimg, C3 = qkv.shape
-    C = C3 // 3
-    N = ws * ws
-    nWx = Wimg // ws
-    nWy = H // ws
-    gq = _sp_pick_g(B, nWx, N)
-    grid = (B // gq, nWy)
-    compute = qkv.dtype
-
-    args = [qkv, jnp.reshape(scale, (1, num_heads)), bias16]
-    if has_mask:
-        args.append(mask)
-    args.append(g.astype(jnp.float32))
-    args = _align_vma(*args)
-    vma = _vma_union(*args)
-
-    if has_mask:
-        def kernel(q, s, b, m, gg, dq, dsc, db):
-            _sp_bwd_body(q, s, b, m, gg, dq, dsc, db, num_heads, compute, ws)
-    else:
-        def kernel(q, s, b, gg, dq, dsc, db):
-            _sp_bwd_body(q, s, b, None, gg, dq, dsc, db, num_heads, compute,
-                         ws)
-    in_specs = _sp_specs(gq, ws, Wimg, C3, num_heads, has_mask, nWx, N)
-    in_specs.append(pl.BlockSpec((gq, ws, Wimg, C), lambda i, j: (i, j, 0, 0),
-                                 memory_space=pltpu.VMEM))
-    dqkv, dscale, dbias = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((gq, ws, Wimg, C3), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, num_heads), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads, N, N), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, Wimg, C3), compute, vma=vma),
-            jax.ShapeDtypeStruct((1, num_heads), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((num_heads, N, N), jnp.float32, vma=vma),
-        ],
-        compiler_params=_ATTN_COMPILER_PARAMS,
-    )(*args)
-
-    dscale = _match_cotangent_vma(dscale.reshape(num_heads), scale)
-    dbias = _match_cotangent_vma(dbias, bias16)
-    dmask = jnp.zeros_like(mask) if has_mask else None
-    return (dqkv, dscale, dbias, dmask)
-
-
-fused_window_attention_spatial.defvjp(_sp_fwd_rule, _sp_bwd_rule)
+_bwd_stats_cp = _make_cp(
+    _bwd_stats_pallas, in_dims=(0, None, 1, 0),
+    out_dims=(0, "sum", "sum"),
+    rule="b n c, h, e b n2 n3, b n d -> b n c, p q, r s t", n_static=3)
 
 
 # ---------------------------------------------------------------------------
@@ -1381,7 +1236,46 @@ def _pk_fwd_stats(qkv, scale, bias16, num_heads, n_win_per_img, mask,
                   block_rows, out_dtype, head_group=0, interpret=None):
     """Packed forward emitting (out, p_stats); p_stats is f32
     (ng, B_, N, gN). Only used under differentiation — the primal path
-    keeps the stat-free kernel."""
+    keeps the stat-free kernel. GSPMD routing as _pk_fwd (p_stats shards
+    on its window dim 1)."""
+    if (interpret is None and not _vma_union(
+            qkv, scale, bias16, *([mask] if mask is not None else []))):
+        maskd = (mask if mask is not None
+                 else jnp.zeros((1, 1, 1), jnp.float32))
+        hg = head_group or num_heads
+        consts = _pk_consts_arrays(hg, qkv.shape[1],
+                                   qkv.shape[2] // 3 * hg // num_heads)
+        return _pk_fwd_stats_cp(qkv, scale, bias16, maskd, *consts,
+                                num_heads, n_win_per_img, block_rows,
+                                jnp.dtype(out_dtype or jnp.float32),
+                                head_group, mask is not None)
+    return _pk_fwd_stats_pallas(qkv, scale, bias16, num_heads,
+                                n_win_per_img, mask, block_rows, out_dtype,
+                                head_group, interpret)
+
+
+def _pk_fwd_stats_cp_impl(qkv, scale, bias16, maskd, hm, blockC, segsum,
+                          segexp, segC, num_heads, n_win_per_img,
+                          block_rows, out_dtype, head_group, has_mask):
+    return _pk_fwd_stats_pallas(qkv, scale, bias16, num_heads,
+                                n_win_per_img,
+                                maskd if has_mask else None, block_rows,
+                                out_dtype, head_group,
+                                consts=(hm, blockC, segsum, segexp, segC))
+
+
+_pk_fwd_stats_cp = _make_cp(
+    _pk_fwd_stats_cp_impl,
+    in_dims=(0, None, None, None, None, None, None, None, None),
+    out_dims=(0, 1),
+    rule="b n c, h, i j k, u v w, a1 a2, a3 a4, a5 a6, a7 a8, a9 a0"
+         " -> b n d, e b n2 n3",
+    n_static=6)
+
+
+def _pk_fwd_stats_pallas(qkv, scale, bias16, num_heads, n_win_per_img,
+                         mask, block_rows, out_dtype, head_group=0,
+                         interpret=None, consts=None):
     B_, N, C3 = qkv.shape
     C = C3 // 3
     hg = head_group or num_heads
@@ -1395,8 +1289,9 @@ def _pk_fwd_stats(qkv, scale, bias16, num_heads, n_win_per_img, mask,
     has_mask = mask is not None
     scalep, biasp, maskp = _pk_pack_params(scale, bias16, mask, num_heads,
                                            N, hg)
-    hm, blockC, segsum, segexp, _ = (jnp.asarray(a) for a in
-                                     _pk_constants(hg, N, Cg))
+    hm, blockC, segsum, segexp, _ = (
+        consts if consts is not None
+        else tuple(jnp.asarray(a) for a in _pk_constants(hg, N, Cg)))
     wb = _pk_pick_block(B_, N, n_win_per_img, C, num_heads,
                         target_rows=block_rows, hg=hg)
     grid = (B_ // wb,)
@@ -1435,6 +1330,21 @@ def _pk_fwd_stats(qkv, scale, bias16, num_heads, n_win_per_img, mask,
 
 def _pk_bwd_stats(qkv, scale, p_st, g, num_heads, n_win_per_img,
                   block_rows, head_group=0, interpret=None):
+    if (interpret is None
+            and not _vma_union(qkv, scale, p_st, g)):
+        hg = head_group or num_heads
+        consts = _pk_consts_arrays(
+            hg, qkv.shape[1], qkv.shape[2] // 3 * hg // num_heads)
+        return _pk_bwd_stats_cp(qkv, scale, p_st, g, *consts, num_heads,
+                                n_win_per_img, block_rows, head_group)
+    return _pk_bwd_stats_pallas(qkv, scale, p_st, g, num_heads,
+                                n_win_per_img, block_rows, head_group,
+                                interpret)
+
+
+def _pk_bwd_stats_pallas(qkv, scale, p_st, g, num_heads, n_win_per_img,
+                         block_rows, head_group=0, interpret=None,
+                         consts=None):
     B_, N, C3 = qkv.shape
     C = C3 // 3
     hg = head_group or num_heads
@@ -1445,8 +1355,9 @@ def _pk_bwd_stats(qkv, scale, p_st, g, num_heads, n_win_per_img,
     if interpret is None:
         interpret = _interpret()
     scalep = jnp.repeat(scale, N).reshape(ng, 1, gN)
-    hm, blockC, segsum, segexp, segC = (jnp.asarray(a) for a in
-                                        _pk_constants(hg, N, Cg))
+    hm, blockC, segsum, segexp, segC = (
+        consts if consts is not None
+        else tuple(jnp.asarray(a) for a in _pk_constants(hg, N, Cg)))
     wb = _pk_pick_block(B_, N, n_win_per_img, C, num_heads,
                         target_rows=block_rows, hg=hg)
     grid = (B_ // wb,)
@@ -1494,198 +1405,43 @@ def _pk_bwd_stats(qkv, scale, p_st, g, num_heads, n_win_per_img,
     )(*args)
 
 
-# Grid-axis head grouping: ng = heads/hg > 1 with the GROUP as a grid
-# dimension instead of an unrolled in-body loop. The unrolled loop measured
-# a loss at every N=49 shape because Mosaic does not share scoped-VMEM
-# stack across the unrolled group bodies — every group's score tensors
-# accumulate on top of the repeat buffers, forcing tiny window blocks
-# (ROUND4_NOTES.md head-grouped table). With grid (nwb, ng) each program
-# holds ONE group's buffers and the pipeline overlaps groups:
-#   - q/k/v arrive as three dup-arg views of qkv with group-offset lane
-#     index maps, so total input traffic is qkv exactly once;
-#   - the dqkv output block covers all 3C lanes at (i, 0, 0) and is
-#     retained across the ng CONSECUTIVE group steps (group = fast axis),
-#     each step filling its own channel slices — no concat afterwards;
-#   - dscale/dbias come out as per-program partials (no cross-step
-#     accumulation ordering constraints) and are summed outside.
-# Requires Cg = C/ng to be lane-aligned (a multiple of 128) so the q/k/v
-# views are legal blocks.
-#
-# MEASURED (real v5e, scripts/attn_kernel_probe.py, ROUND4_NOTES.md): the
-# grid-axis variant fixes the VMEM stacking of the unrolled loop (parity
-# clean, relerr ≤ 7.5e-3) but still LOSES to both the per-head kernel and
-# the full pack at every N=49 shape — sw3 g4 1.52 vs per-head 0.77 ms
-# f+b, sw4 g4 0.83 vs 0.58 — the per-group head-repeat buffers price does
-# not amortise at hg·N < 288 lanes. It therefore never runs on a shipping
-# dispatch (pick_head_group returns full-pack or per-head only); it
-# replaces the unrolled loop whenever a caller explicitly requests an
-# aligned head_group, and stays as tested machinery for future shapes.
-_PK_GROUP_GRID = True
+def _pk_bwd_stats_cp_impl(qkv, scale, p_st, g, hm, blockC, segsum,
+                          segexp, segC, num_heads, n_win_per_img,
+                          block_rows, head_group):
+    return _pk_bwd_stats_pallas(qkv, scale, p_st, g, num_heads,
+                                n_win_per_img, block_rows, head_group,
+                                consts=(hm, blockC, segsum, segexp, segC))
 
 
-def _pkg_fwd_body(q_ref, k_ref, v_ref, scalep_ref, biasp_ref, mask_ref,
-                  hm_ref, blockC_ref, segsum_ref, segC_ref, out_ref,
-                  hg, compute):
-    mask = mask_ref[:] if mask_ref is not None else None
-    hm_c = hm_ref[:].astype(compute)
-    (_, _, _, _, _, _, _, _, _, vrep, _, e, denom) = _pk_recompute(
-        q_ref[:], k_ref[:], v_ref[:], scalep_ref[0], biasp_ref[0], mask,
-        hm_c, blockC_ref[:], segsum_ref[:], hg, compute)
-    out = lax.dot_general(e.astype(compute), vrep,
-                          (((2,), (1,)), ((0,), (0,))),
-                          preferred_element_type=jnp.float32)
-    invC = _nobatch(1.0 / denom, segC_ref[:])
-    out_ref[:] = (out * invC).astype(out_ref.dtype)
+_pk_bwd_stats_cp = _make_cp(
+    _pk_bwd_stats_cp_impl,
+    in_dims=(0, None, 1, 0, None, None, None, None, None),
+    out_dims=(0, "sum", "sum"),
+    rule="b n c, h, e b n2 n3, b n d, a1 a2, a3 a4, a5 a6, a7 a8, a9 a0"
+         " -> b n c, p q r, s t x",
+    n_static=4)
 
 
-def _pkg_bwd_body(q_ref, k_ref, v_ref, scalep_ref, biasp_ref, mask_ref,
-                  hm_ref, blockC_ref, segsum_ref, segexp_ref, g_ref,
-                  dqkv_ref, dscalep_ref, dbiasp_ref, ng, hg, compute):
-    gi = pl.program_id(1)
-    mask = mask_ref[:] if mask_ref is not None else None
-    hm = hm_ref[:]
-    dq, dk, dv, dbias_p, dscale_p = _pk_bwd_one_group(
-        q_ref[:], k_ref[:], v_ref[:], scalep_ref[0], biasp_ref[0], mask,
-        hm, hm.astype(compute), blockC_ref[:], segsum_ref[:],
-        segexp_ref[:], g_ref[:], hg, compute)
-    dt = dqkv_ref.dtype
-    C = dqkv_ref.shape[2] // 3
-    Cg = C // ng
-    # static per-group channel offsets via predicated writes (ng is 2-4;
-    # dynamic lane-offset stores are not a Mosaic guarantee)
-    for t in range(ng):
-        @pl.when(gi == t)
-        def _(t=t):
-            o = t * Cg
-            dqkv_ref[:, :, o:o + Cg] = dq.astype(dt)
-            dqkv_ref[:, :, C + o:C + o + Cg] = dk.astype(dt)
-            dqkv_ref[:, :, 2 * C + o:2 * C + o + Cg] = dv.astype(dt)
-    dscalep_ref[0] = dscale_p
-    dbiasp_ref[0] = dbias_p
-
-
-def _pkg_specs(wb, N, C, ng, hg, has_mask, nW):
-    """in_specs for the grid-axis grouped kernels: grid (nwb, ng), q/k/v as
-    three group-sliced views of the (B_, N, 3C) qkv array."""
-    gN = hg * N
-    Cg = C // ng
-    const = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda i, gi: (0,) * len(shape), memory_space=pltpu.VMEM)
-
-    def qview(off):
-        return pl.BlockSpec((wb, N, Cg),
-                            lambda i, gi, off=off: (i, 0, off * ng + gi),
-                            memory_space=pltpu.VMEM)
-
-    specs = [
-        qview(0), qview(1), qview(2),
-        pl.BlockSpec((1, 1, gN), lambda i, gi: (gi, 0, 0),
-                     memory_space=pltpu.VMEM),       # scalep
-        pl.BlockSpec((1, N, gN), lambda i, gi: (gi, 0, 0),
-                     memory_space=pltpu.VMEM),       # biasp
-    ]
-    if has_mask:
-        specs.append(const((nW, N, gN)))
-    specs += [const((gN, Cg)), const((Cg, Cg)), const((gN, hg))]
-    return specs
+# Grid-axis head grouping (the packed kernel's head GROUP as a grid
+# dimension): built, parity-clean, measured NEGATIVE at every N=49 shape
+# (ROUND4_NOTES.md — sw3 g4 1.52 vs per-head 0.77 ms f+b). The machinery
+# lives in fused_window_attn_variants; it engages only when a caller
+# explicitly requests an aligned head_group < num_heads (never on a
+# shipping dispatch — pick_head_group returns full-pack or per-head only).
 
 
 def _pkg_use(ng, Cg):
-    return _PK_GROUP_GRID and ng > 1 and Cg % 128 == 0
+    return ng > 1 and Cg % 128 == 0
 
 
-def _pkg_fwd(qkv, scalep, biasp, maskp, num_heads, n_win_per_img,
-             block_rows, interpret, out_dtype, hg):
-    B_, N, C3 = qkv.shape
-    C = C3 // 3
-    ng = num_heads // hg
-    Cg = C // ng
-    compute = qkv.dtype
-    has_mask = maskp is not None
-    hm, blockC, segsum, _, segC = (jnp.asarray(a) for a in
-                                   _pk_constants(hg, N, Cg))
-    wb = _pk_pick_block(B_, N, n_win_per_img, Cg, hg,
-                        target_rows=block_rows, hg=hg)
-    grid = (B_ // wb, ng)
-    args = [qkv, qkv, qkv, scalep, biasp] + \
-        ([maskp] if has_mask else []) + [hm, blockC, segsum, segC]
-    args = _align_vma(*args)
-    vma = _vma_union(*args)
-    if has_mask:
-        def kernel(q, k, v, sc, b, m, *rest):
-            _pkg_fwd_body(q, k, v, sc, b, m, *rest, hg, compute)
-    else:
-        def kernel(q, k, v, sc, b, *rest):
-            _pkg_fwd_body(q, k, v, sc, b, None, *rest, hg, compute)
-    in_specs = _pkg_specs(wb, N, C, ng, hg, has_mask, n_win_per_img)
-    in_specs.append(pl.BlockSpec((hg, Cg), lambda i, gi: (0, 0),
-                                 memory_space=pltpu.VMEM))      # segC
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((wb, N, Cg), lambda i, gi: (i, 0, gi),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B_, N, C), out_dtype, vma=vma),
-        compiler_params=_ATTN_COMPILER_PARAMS,
-        interpret=interpret,
-    )(*args)
+def _pkg_fwd(*args):
+    from fr_tpu.ops.fused_window_attn_variants import _pkg_fwd as impl
+    return impl(*args)
 
 
-def _pkg_bwd(qkv, scalep, biasp, maskp, g, num_heads, n_win_per_img,
-             block_rows, interpret, hg):
-    B_, N, C3 = qkv.shape
-    C = C3 // 3
-    ng = num_heads // hg
-    Cg = C // ng
-    gN = hg * N
-    compute = qkv.dtype
-    has_mask = maskp is not None
-    hm, blockC, segsum, segexp, _ = (jnp.asarray(a) for a in
-                                     _pk_constants(hg, N, Cg))
-    wb = _pk_pick_block(B_, N, n_win_per_img, Cg, hg,
-                        target_rows=block_rows, hg=hg)
-    nwb = B_ // wb
-    grid = (nwb, ng)
-    args = [qkv, qkv, qkv, scalep, biasp] + \
-        ([maskp] if has_mask else []) + [hm, blockC, segsum, segexp, g]
-    args = _align_vma(*args)
-    vma = _vma_union(*args)
-    if has_mask:
-        def kernel(q, k, v, sc, b, m, *rest):
-            _pkg_bwd_body(q, k, v, sc, b, m, *rest, ng, hg, compute)
-    else:
-        def kernel(q, k, v, sc, b, *rest):
-            _pkg_bwd_body(q, k, v, sc, b, None, *rest, ng, hg, compute)
-    in_specs = _pkg_specs(wb, N, C, ng, hg, has_mask, n_win_per_img)
-    in_specs.append(pl.BlockSpec((hg, gN), lambda i, gi: (0, 0),
-                                 memory_space=pltpu.VMEM))      # segexp
-    in_specs.append(pl.BlockSpec((wb, N, Cg), lambda i, gi: (i, 0, gi),
-                                 memory_space=pltpu.VMEM))      # g
-    dqkv, dscale_parts, dbias_parts = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((wb, N, C3), lambda i, gi: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, gN), lambda i, gi: (i * ng + gi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, gN), lambda i, gi: (i * ng + gi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B_, N, C3), compute, vma=vma),
-            jax.ShapeDtypeStruct((nwb * ng, 1, gN), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((nwb * ng, N, gN), jnp.float32, vma=vma),
-        ],
-        compiler_params=_ATTN_COMPILER_PARAMS,
-        interpret=interpret,
-    )(*args)
-    dscalep = jnp.sum(dscale_parts.reshape(nwb, ng, 1, gN), axis=0)
-    dbiasp = jnp.sum(dbias_parts.reshape(nwb, ng, N, gN), axis=0)
-    return dqkv, dscalep, dbiasp
-
+def _pkg_bwd(*args):
+    from fr_tpu.ops.fused_window_attn_variants import _pkg_bwd as impl
+    return impl(*args)
 
 def _pk_specs(wb, N, C3, num_heads, hg, has_mask, nW):
     C = C3 // 3
@@ -1748,15 +1504,58 @@ def fused_window_attention_packed(qkv: jnp.ndarray, scale: jnp.ndarray,
 
 def _pk_fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask, block_rows,
             interpret=False, out_dtype=None, head_group=0):
+    """Packed-kernel primal dispatch — same GSPMD routing as _fwd: jnp
+    twin off-TPU, direct pallas under shard_map (vma) or when the caller
+    forces interpret, custom_partitioning otherwise (VERDICT r4 #4)."""
+    out_dtype = out_dtype or jnp.float32
+    if _interpret() and not interpret and not _cp_interpret():
+        return _heads_fwd(qkv, scale, bias16, mask, num_heads,
+                          qkv.dtype).astype(out_dtype)
+    if interpret or _vma_union(qkv, scale, bias16,
+                               *([mask] if mask is not None else [])):
+        return _pk_fwd_pallas(qkv, scale, bias16, num_heads, n_win_per_img,
+                              mask, block_rows, interpret, out_dtype,
+                              head_group)
+    maskd = mask if mask is not None else jnp.zeros((1, 1, 1), jnp.float32)
+    hg = head_group or num_heads
+    consts = _pk_consts_arrays(hg, qkv.shape[1],
+                               qkv.shape[2] // 3 * hg // num_heads)
+    return _pk_fwd_cp(qkv, scale, bias16, maskd, *consts, num_heads,
+                      n_win_per_img, block_rows, jnp.dtype(out_dtype),
+                      head_group, mask is not None)
+
+
+def _pk_consts_arrays(hg, N, Cg):
+    return tuple(jnp.asarray(a) for a in _pk_constants(hg, N, Cg))
+
+
+def _pk_fwd_cp_impl(qkv, scale, bias16, maskd, hm, blockC, segsum, segexp,
+                    segC, num_heads, n_win_per_img, block_rows, out_dtype,
+                    head_group, has_mask):
+    return _pk_fwd_pallas(qkv, scale, bias16, num_heads, n_win_per_img,
+                          maskd if has_mask else None, block_rows,
+                          _interpret(), out_dtype, head_group,
+                          consts=(hm, blockC, segsum, segexp, segC))
+
+
+_pk_fwd_cp = _make_cp(
+    _pk_fwd_cp_impl,
+    in_dims=(0, None, None, None, None, None, None, None, None),
+    out_dims=(0,),
+    rule="b n c, h, i j k, u v w, a1 a2, a3 a4, a5 a6, a7 a8, a9 a0"
+         " -> b n d",
+    n_static=6)
+
+
+def _pk_fwd_pallas(qkv, scale, bias16, num_heads, n_win_per_img, mask,
+                   block_rows, interpret=False, out_dtype=None,
+                   head_group=0, consts=None):
     B_, N, C3 = qkv.shape
     C = C3 // 3
     hg = head_group or num_heads
     assert num_heads % hg == 0 and C % num_heads == 0
     compute = qkv.dtype
     out_dtype = out_dtype or jnp.float32
-    if _interpret() and not interpret:
-        return _heads_fwd(qkv, scale, bias16, mask, num_heads,
-                          compute).astype(out_dtype)
     has_mask = mask is not None
     Cg = C * hg // num_heads
     scalep, biasp, maskp = _pk_pack_params(scale, bias16, mask, num_heads,
@@ -1764,8 +1563,11 @@ def _pk_fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask, block_rows,
     if _pkg_use(num_heads // hg, Cg):
         return _pkg_fwd(qkv, scalep, biasp, maskp, num_heads, n_win_per_img,
                         block_rows, interpret, out_dtype, hg)
-    hm, blockC, segsum, _, segC = (jnp.asarray(a) for a in
-                                   _pk_constants(hg, N, Cg))
+    # segment constants arrive as operands under custom_partitioning (its
+    # per-shard lowering must be const-free) and are built here otherwise
+    hm, blockC, segsum, _, segC = (
+        consts if consts is not None
+        else tuple(jnp.asarray(a) for a in _pk_constants(hg, N, Cg)))
     wb = _pk_pick_block(B_, N, n_win_per_img, C, num_heads,
                         target_rows=block_rows, hg=hg)
     grid = (B_ // wb,)
@@ -1797,8 +1599,9 @@ def _pk_fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask, block_rows,
 
 def _pk_fwd_rule(qkv, scale, bias16, num_heads, n_win_per_img, mask,
                  block_rows, interpret, out_dtype, head_group, stored_stats):
-    if os.environ.get("FR_ATTN_STORED_STATS", "1") == "0":
-        stored_stats = False          # in-model A/B kill-switch
+    env = os.environ.get("FR_ATTN_STORED_STATS")
+    if env in ("0", "1"):
+        stored_stats = env == "1"     # the ONE stats A/B switch
     hg = head_group or num_heads
     ng = num_heads // hg
     Cg = qkv.shape[2] // 3 // ng
@@ -1841,7 +1644,7 @@ def _pk_bwd_rule(num_heads, n_win_per_img, block_rows, interpret, out_dtype,
     compute = qkv.dtype
     has_mask = mask is not None
 
-    if _interpret() and not interpret:
+    if _interpret() and not interpret and not _cp_interpret():
         dqkv, dscale, dbias = _bwd_jnp(qkv, scale, bias16, mask,
                                        g.astype(jnp.float32), num_heads)
         dscale = _match_cotangent_vma(dscale, scale)
@@ -1849,23 +1652,67 @@ def _pk_bwd_rule(num_heads, n_win_per_img, block_rows, interpret, out_dtype,
         return (dqkv, dscale, dbias,
                 jnp.zeros_like(mask) if has_mask else None)
 
+    if interpret or _vma_union(qkv, scale, bias16, g,
+                               *([mask] if has_mask else [])):
+        dqkv, dscalep, dbiasp = _pk_bwd_pallas(
+            qkv, scale, bias16, mask, g, num_heads, n_win_per_img,
+            block_rows, interpret, head_group)
+    else:
+        maskd = (mask if has_mask
+                 else jnp.zeros((1, 1, 1), jnp.float32))
+        consts = _pk_consts_arrays(hg, N, C3 // 3 // ng)
+        dqkv, dscalep, dbiasp = _pk_bwd_cp(
+            qkv, scale, bias16, maskd, g, *consts, num_heads,
+            n_win_per_img, block_rows, head_group, has_mask)
+    dscale = jnp.sum(dscalep.reshape(num_heads, N), axis=1)
+    dbias = dbiasp.reshape(ng, N, hg, N).transpose(0, 2, 1, 3).reshape(
+        num_heads, N, N)
+    dscale = _match_cotangent_vma(dscale, scale)
+    dbias = _match_cotangent_vma(dbias, bias16)
+    dmask = jnp.zeros_like(mask) if has_mask else None
+    return (dqkv, dscale, dbias, dmask)
+
+
+def _pk_bwd_cp_impl(qkv, scale, bias16, maskd, g, hm, blockC, segsum,
+                    segexp, segC, num_heads, n_win_per_img, block_rows,
+                    head_group, has_mask):
+    return _pk_bwd_pallas(qkv, scale, bias16,
+                          maskd if has_mask else None, g, num_heads,
+                          n_win_per_img, block_rows, _interpret(),
+                          head_group,
+                          consts=(hm, blockC, segsum, segexp, segC))
+
+
+_pk_bwd_cp = _make_cp(
+    _pk_bwd_cp_impl,
+    in_dims=(0, None, None, None, 0, None, None, None, None, None),
+    out_dims=(0, "sum", "sum"),
+    rule="b n c, h, i j k, u v w, b n d, a1 a2, a3 a4, a5 a6, a7 a8, a9 a0"
+         " -> b n c, p q r, s t x",
+    n_static=5)
+
+
+def _pk_bwd_pallas(qkv, scale, bias16, mask, g, num_heads, n_win_per_img,
+                   block_rows, interpret, head_group, consts=None):
+    """Packed backward pallas core: returns PACKED (dqkv, dscalep,
+    dbiasp) — the caller unpacks lane groups to per-head grads."""
+    B_, N, C3 = qkv.shape
+    C = C3 // 3
+    hg = head_group or num_heads
+    ng = num_heads // hg
+    gN = hg * N
+    compute = qkv.dtype
+    has_mask = mask is not None
     Cg = C // ng
     scalep, biasp, maskp = _pk_pack_params(scale, bias16, mask, num_heads,
                                            N, hg)
     g = g if g.dtype == compute else g.astype(jnp.float32)
     if _pkg_use(ng, Cg):
-        dqkv, dscalep, dbiasp = _pkg_bwd(
-            qkv, scalep, biasp, maskp, g, num_heads, n_win_per_img,
-            block_rows, interpret, hg)
-        dscale = jnp.sum(dscalep.reshape(num_heads, N), axis=1)
-        dbias = dbiasp.reshape(ng, N, hg, N).transpose(0, 2, 1, 3).reshape(
-            num_heads, N, N)
-        dscale = _match_cotangent_vma(dscale, scale)
-        dbias = _match_cotangent_vma(dbias, bias16)
-        return (dqkv, dscale, dbias,
-                jnp.zeros_like(mask) if has_mask else None)
-    hm, blockC, segsum, segexp, _ = (jnp.asarray(a) for a in
-                                     _pk_constants(hg, N, Cg))
+        return _pkg_bwd(qkv, scalep, biasp, maskp, g, num_heads,
+                        n_win_per_img, block_rows, interpret, hg)
+    hm, blockC, segsum, segexp, _ = (
+        consts if consts is not None
+        else tuple(jnp.asarray(a) for a in _pk_constants(hg, N, Cg)))
     wb = _pk_pick_block(B_, N, n_win_per_img, C, num_heads,
                         target_rows=block_rows, hg=hg)
     grid = (B_ // wb,)
@@ -1904,338 +1751,11 @@ def _pk_bwd_rule(num_heads, n_win_per_img, block_rows, interpret, out_dtype,
         compiler_params=_ATTN_COMPILER_PARAMS,
         interpret=interpret,
     )(*args)
-
-    # unpack: group gi lane hl·N + j maps to head gi·hg + hl
-    dscale = jnp.sum(dscalep.reshape(num_heads, N), axis=1)
-    dbias = dbiasp.reshape(ng, N, hg, N).transpose(0, 2, 1, 3).reshape(
-        num_heads, N, N)
-    dscale = _match_cotangent_vma(dscale, scale)
-    dbias = _match_cotangent_vma(dbias, bias16)
-    dmask = jnp.zeros_like(mask) if has_mask else None
-    return (dqkv, dscale, dbias, dmask)
+    return dqkv, dscalep, dbiasp
 
 
 fused_window_attention_packed.defvjp(_pk_fwd_rule, _pk_bwd_rule)
 
-
-# ---------------------------------------------------------------------------
-# Entry-fused packed variant (v3): the qkv projection GEMM lives INSIDE the
-# kernel. Measured motivation (ROUND4_NOTES.md, fresh AlterNet50 XPlane):
-# with the projection outside, the (B_, N, 3C) qkv tensor round-trips HBM in
-# a GEMM-preferred {2,0,1} layout and XLA inserts transpose-rate
-# (~130 GB/s) relayout copies before every kernel call — ~1.75 ms/step of
-# copies plus the qkv write+read itself, and the remat replay doubles the
-# copies in the backward. Two XLA-side fixes measured negative (remat off:
-# 34.99 ms; 2-D reshaped dots: 35.61 ms vs 34.64 baseline), so the fix is
-# structural: take x (B_, N, C) + the (C, 3C) projection weights, compute
-# qkv on the MXU in-kernel (M = wb·N rows — fill-efficient), and in the
-# backward emit dx directly while accumulating dW/dbias across grid steps
-# (same sequential-grid accumulation the dscale/dbias outputs already use).
-# The qkv tensor then never exists in HBM in either direction.
-# ---------------------------------------------------------------------------
-
-
-# Backward strategy for the entry-fused op: True (shipping) = fwd-only
-# entry fusion with the v2 qkv-input backward kernel behind an XLA qkv
-# recompute; False = the all-in-kernel backward (dx/dW/dbias inside) —
-# measured negative end-to-end, kept for re-measurement (ROUND4_NOTES.md).
-_PKX_HYBRID_BWD = True
-
-
-def _pkx_qkv(x_ref, w_ref, b_ref, compute):
-    """In-kernel qkv projection: (wb, N, C) · (C, 3C) + (1, 3C) → compute
-    dtype, f32 MXU accumulation (matches the XLA dot it replaces). The dot
-    runs on the flattened (wb·N, C) view so it is ONE fill-efficient
-    M = wb·N matmul rather than wb unrolled M = N ones."""
-    x = x_ref[:]
-    W, N, C = x.shape
-    qkv32 = lax.dot_general(x.reshape(W * N, C), w_ref[:].astype(compute),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    qkv32 = qkv32.reshape(W, N, 3 * C)
-    return (qkv32 + b_ref[:].astype(jnp.float32)[None]).astype(compute)
-
-
-def _pkx_fwd_body(x_ref, w_ref, b_ref, scalep_ref, biasp_ref, mask_ref,
-                  hm_ref, blockC_ref, segsum_ref, segC_ref, out_ref,
-                  num_heads, hg, compute):
-    qkv = _pkx_qkv(x_ref, w_ref, b_ref, compute)
-    mask = mask_ref[:] if mask_ref is not None else None
-    _pk_fwd_groups(qkv, scalep_ref, biasp_ref, mask, hm_ref,
-                   blockC_ref, segsum_ref, segC_ref, out_ref,
-                   num_heads, hg, compute)
-
-
-def _pkx_bwd_body(x_ref, w_ref, wT_ref, b_ref, scalep_ref, biasp_ref,
-                  mask_ref, hm_ref, blockC_ref, segsum_ref, segexp_ref,
-                  g_ref, dx_ref, dw_ref, db_ref, dscalep_ref, dbiasp_ref,
-                  num_heads, hg, compute):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        dscalep_ref[:] = jnp.zeros_like(dscalep_ref)
-        dbiasp_ref[:] = jnp.zeros_like(dbiasp_ref)
-        dw_ref[:] = jnp.zeros_like(dw_ref)
-        db_ref[:] = jnp.zeros_like(db_ref)
-
-    qkv = _pkx_qkv(x_ref, w_ref, b_ref, compute)
-    W, N, C3 = qkv.shape
-    C = C3 // 3
-    ng = num_heads // hg
-    mask = mask_ref[:] if mask_ref is not None else None
-    parts = {}
-
-    def store(gi, o, Cg, dq, dk, dv):
-        parts[gi] = (dq, dk, dv)
-
-    _pk_bwd_groups(qkv, scalep_ref, biasp_ref, mask, hm_ref, blockC_ref,
-                   segsum_ref, segexp_ref, g_ref[:], dscalep_ref, dbiasp_ref,
-                   store, num_heads, hg, compute)
-    # assemble the full f32 dqkv in registers, then chain through the
-    # projection: dx = dqkv · Wᵀ, dW += xᵀ · dqkv, dbias += Σ dqkv
-    dqkv32 = jnp.concatenate(
-        [parts[gi][j] for j in range(3) for gi in range(ng)], axis=2)
-    dqkv_c = dqkv32.astype(compute)
-    dx = _nobatch(dqkv_c, wT_ref[:].astype(compute))  # (W, N, C) f32
-    dx_ref[:] = dx.astype(dx_ref.dtype)
-    x2 = x_ref[:].reshape(W * N, C)
-    d2 = dqkv_c.reshape(W * N, C3)
-    dw_ref[:] += lax.dot_general(x2, d2, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    db_ref[:] += jnp.sum(dqkv32.reshape(W * N, C3), axis=0, keepdims=True)
-
-
-def _pkx_jnp(x, w, b, scale, bias16, mask, num_heads):
-    """Off-TPU twin: the exact qkv formulation the kernel uses (f32 MXU
-    accumulation + f32 bias add, cast to compute) feeding the packed
-    oracle."""
-    compute = x.dtype
-    qkv32 = lax.dot_general(x, w.astype(compute),
-                            (((2,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    qkv = (qkv32 + b.astype(jnp.float32)).astype(compute)
-    return qkv, _heads_fwd(qkv, scale, bias16, mask, num_heads, compute)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 8, 9, 10, 11))
-def fused_window_attention_packed_qkv(x: jnp.ndarray, w: jnp.ndarray,
-                                      b: jnp.ndarray, scale: jnp.ndarray,
-                                      bias16: jnp.ndarray, num_heads: int,
-                                      n_win_per_img: int,
-                                      mask: Optional[jnp.ndarray] = None,
-                                      block_rows: int = 1024,
-                                      interpret: bool = False,
-                                      out_dtype=None,
-                                      head_group: int = 0) -> jnp.ndarray:
-    """Entry-fused packed window attention: x (B_, N, C) compute-dtype
-    windows + qkv projection weights w (C, 3C) f32 / bias b (3C,) f32 →
-    (B_, N, C) out_dtype. Everything from the qkv GEMM to the pre-proj
-    activations runs in one kernel; backward returns (dx, dW, dbias,
-    dscale, dbias16) with dW/dbias accumulated across sequential grid
-    steps. Semantics match fused_window_attention_packed(x·w + b, ...)
-    (reference AlterNet_SwinV2_FAN.py:252-302 — the qkv Linear at :265
-    plus the cosine attention it feeds)."""
-    return _pkx_fwd(x, w, b, scale, bias16, num_heads, n_win_per_img, mask,
-                    block_rows, interpret, out_dtype, head_group)
-
-
-def _pkx_fwd(x, w, b, scale, bias16, num_heads, n_win_per_img, mask,
-             block_rows, interpret=False, out_dtype=None, head_group=0):
-    B_, N, C = x.shape
-    hg = head_group or num_heads
-    assert num_heads % hg == 0 and C % num_heads == 0
-    compute = x.dtype
-    out_dtype = out_dtype or jnp.float32
-    if _interpret() and not interpret:
-        return _pkx_jnp(x, w, b, scale, bias16, mask,
-                        num_heads)[1].astype(out_dtype)
-    has_mask = mask is not None
-    Cg = C * hg // num_heads
-    hm, blockC, segsum, _, segC = (jnp.asarray(a) for a in
-                                   _pk_constants(hg, N, Cg))
-    scalep, biasp, maskp = _pk_pack_params(scale, bias16, mask, num_heads,
-                                           N, hg)
-    wb = _pk_pick_block(B_, N, n_win_per_img, C, num_heads,
-                        target_rows=block_rows, hg=hg, qkv_fused=True)
-    grid = (B_ // wb,)
-    b2 = b.reshape(1, 3 * C)
-    args = [x, w, b2, scalep, biasp] + ([maskp] if has_mask else []) + \
-        [hm, blockC, segsum, segC]
-    args = _align_vma(*args)
-    vma = _vma_union(*args)
-    if has_mask:
-        def kernel(xr, wr, br, sc, bp, m, *rest):
-            _pkx_fwd_body(xr, wr, br, sc, bp, m, *rest, num_heads, hg,
-                          compute)
-    else:
-        def kernel(xr, wr, br, sc, bp, *rest):
-            _pkx_fwd_body(xr, wr, br, sc, bp, None, *rest, num_heads, hg,
-                          compute)
-    in_specs = _pkx_specs(wb, N, C, num_heads, hg, has_mask, n_win_per_img)
-    in_specs.append(pl.BlockSpec((hg, Cg), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM))     # segC
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B_, N, C), out_dtype, vma=vma),
-        compiler_params=_ATTN_COMPILER_PARAMS,
-        interpret=interpret,
-    )(*args)
-
-
-def _pkx_specs(wb, N, C, num_heads, hg, has_mask, nW):
-    """in_specs for the entry-fused kernel: x block + projection params +
-    the packed-attention constants of _pk_specs."""
-    ng = num_heads // hg
-    gN = hg * N
-    Cg = C // ng
-    const = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    specs = [
-        pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        const((C, 3 * C)),       # w
-        const((1, 3 * C)),       # bias
-        const((ng, 1, gN)),      # scalep
-        const((ng, N, gN)),      # biasp
-    ]
-    if has_mask:
-        specs.append(const((nW, N, gN)))
-    specs += [const((gN, Cg)), const((Cg, Cg)), const((gN, hg))]
-    return specs
-
-
-def _pkx_fwd_rule(x, w, b, scale, bias16, num_heads, n_win_per_img, mask,
-                  block_rows, interpret, out_dtype, head_group):
-    out = _pkx_fwd(x, w, b, scale, bias16, num_heads, n_win_per_img, mask,
-                   block_rows, interpret, out_dtype, head_group)
-    return out, (x, w, b, scale, bias16, mask)
-
-
-def _pkx_bwd_rule(num_heads, n_win_per_img, block_rows, interpret, out_dtype,
-                  head_group, residuals, g):
-    x, w, b, scale, bias16, mask = residuals
-    B_, N, C = x.shape
-    hg = head_group or num_heads
-    ng = num_heads // hg
-    gN = hg * N
-    compute = x.dtype
-    has_mask = mask is not None
-
-    if _interpret() and not interpret:
-        # chain the packed jnp backward through the projection
-        def f(x_, w_, b_, scale_, bias16_):
-            qkv, out = _pkx_jnp(x_, w_, b_, scale_, bias16_, mask, num_heads)
-            return out.astype(out_dtype or jnp.float32)
-        dx, dw, db, dscale, dbias = jax.vjp(f, x, w, b, scale, bias16)[1](g)
-        dscale = _match_cotangent_vma(dscale, scale)
-        dbias = _match_cotangent_vma(dbias, bias16)
-        return (dx, dw, db, dscale, dbias,
-                jnp.zeros_like(mask) if has_mask else None)
-
-    if _PKX_HYBRID_BWD:
-        # Fwd-only entry fusion (the shipping configuration): recompute qkv
-        # with an XLA GEMM (latency-hidden, layout-flexible) feeding the v2
-        # qkv-input backward kernel, then chain dx/dW/dbias as XLA dots.
-        # The all-in-kernel backward above measured NEGATIVE on the full
-        # step (AlterNet50 37.11 vs 34.64 ms — the dx/dW dots serialise
-        # against the attention chain inside the kernel body; ROUND4_NOTES)
-        # and is kept behind _PKX_HYBRID_BWD=False for re-measurement.
-        qkv32 = lax.dot_general(x, w.astype(compute),
-                                (((2,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        qkv = (qkv32 + b.astype(jnp.float32)).astype(compute)
-        dqkv, dscale, dbias, _ = _pk_bwd_rule(
-            num_heads, n_win_per_img, block_rows, interpret, out_dtype,
-            head_group, False, (qkv, scale, bias16, mask, None), g)
-        dqkv_c = dqkv.astype(compute)
-        dx = lax.dot_general(dqkv_c, w.astype(compute).transpose(1, 0),
-                             (((2,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32
-                             ).astype(compute)
-        x2 = x.reshape(B_ * N, C)
-        d2 = dqkv_c.reshape(B_ * N, 3 * C)
-        dw = lax.dot_general(x2, d2, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-        db = jnp.sum(dqkv.astype(jnp.float32).reshape(B_ * N, 3 * C), axis=0)
-        dw = _match_cotangent_vma(dw, w)
-        db = _match_cotangent_vma(db, b)
-        dmask = jnp.zeros_like(mask) if has_mask else None
-        return (dx, dw, db, dscale, dbias, dmask)
-
-    Cg = C // ng
-    hm, blockC, segsum, segexp, _ = (jnp.asarray(a) for a in
-                                     _pk_constants(hg, N, Cg))
-    scalep, biasp, maskp = _pk_pack_params(scale, bias16, mask, num_heads,
-                                           N, hg)
-    wb = _pk_pick_block(B_, N, n_win_per_img, C, num_heads,
-                        target_rows=block_rows, hg=hg, qkv_fused=True)
-    grid = (B_ // wb,)
-    g = g if g.dtype == compute else g.astype(jnp.float32)
-    b2 = b.reshape(1, 3 * C)
-    wT = w.transpose(1, 0)
-    args = [x, w, wT, b2, scalep, biasp] + ([maskp] if has_mask else []) + \
-        [hm, blockC, segsum, segexp, g]
-    args = _align_vma(*args)
-    vma = _vma_union(*args)
-    if has_mask:
-        def kernel(xr, wr, wtr, br, sc, bp, m, *rest):
-            _pkx_bwd_body(xr, wr, wtr, br, sc, bp, m, *rest, num_heads, hg,
-                          compute)
-    else:
-        def kernel(xr, wr, wtr, br, sc, bp, *rest):
-            _pkx_bwd_body(xr, wr, wtr, br, sc, bp, None, *rest, num_heads,
-                          hg, compute)
-    in_specs = _pkx_specs(wb, N, C, num_heads, hg, has_mask, n_win_per_img)
-    in_specs.insert(2, pl.BlockSpec((3 * C, C), lambda i: (0, 0),
-                                    memory_space=pltpu.VMEM))  # wT
-    in_specs.append(pl.BlockSpec((hg, gN), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM))     # segexp
-    in_specs.append(pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
-                                 memory_space=pltpu.VMEM))     # g
-    dx, dw, db2, dscalep, dbiasp = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 3 * C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng, 1, gN), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng, N, gN), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B_, N, C), compute, vma=vma),
-            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((ng, 1, gN), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((ng, N, gN), jnp.float32, vma=vma),
-        ],
-        compiler_params=_ATTN_COMPILER_PARAMS,
-        interpret=interpret,
-    )(*args)
-
-    dscale = jnp.sum(dscalep.reshape(num_heads, N), axis=1)
-    dbias = dbiasp.reshape(ng, N, hg, N).transpose(0, 2, 1, 3).reshape(
-        num_heads, N, N)
-    dw = _match_cotangent_vma(dw, w)
-    db = _match_cotangent_vma(db2.reshape(3 * C), b)
-    dscale = _match_cotangent_vma(dscale, scale)
-    dbias = _match_cotangent_vma(dbias, bias16)
-    dmask = jnp.zeros_like(mask) if has_mask else None
-    return (dx, dw, db, dscale, dbias, dmask)
-
-
-fused_window_attention_packed_qkv.defvjp(_pkx_fwd_rule, _pkx_bwd_rule)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6, 7, 8))
@@ -2246,7 +1766,7 @@ def fused_window_attention(qkv: jnp.ndarray, scale: jnp.ndarray,
                            mask: Optional[jnp.ndarray] = None,
                            block_rows: int = 1024,
                            out_dtype=None,
-                           stored_stats: bool = True) -> jnp.ndarray:
+                           stored_stats: bool = False) -> jnp.ndarray:
     """qkv (B_, N, 3C) compute-dtype; scale (heads,) f32 (already
     exp-clamped); bias16 (heads, N, N) f32 (already 16·sigmoid(CPB));
     mask (nW, N, N) f32 additive or None; block_rows: see _pick_block.
@@ -2254,13 +1774,15 @@ def fused_window_attention(qkv: jnp.ndarray, scale: jnp.ndarray,
     pre-proj activations in compute dtype — halves the output AND incoming-
     cotangent HBM traffic when the consumer (the proj GEMM) reads bf16
     anyway (VERDICT r3 next #2, same plumbing as the packed kernel).
-    stored_stats: under differentiation, save per-head softmax stats in
-    the forward and skip the score/softmax recompute in the backward —
-    measured faster at every N=49 shape for DIRECT value_and_grad callers
-    (ROUND4_NOTES.md); the primal (no-grad) path is unchanged. The MODEL
-    passes stored_stats=False: under its nn.remat wrapper the stats
-    forward breaks the primal/replay CSE and nets ~zero end-to-end
-    (see swin_common.attention_stats_inmodel)."""
+    stored_stats (default False since round 5): save per-head softmax
+    stats in the forward and skip the score/softmax recompute in the
+    backward. The round-4 default was True (stats beat the UNROLLED
+    recompute for direct value_and_grad callers at every N=49 shape);
+    the round-5 BATCHED recompute bodies beat the stats backward at every
+    probed shape (sw3 1.28 vs 1.33, sw4 0.60 vs 0.65, s4 0.73 vs 0.89 ms
+    f+b — ROUND5_NOTES.md), so recompute is now the default for every
+    caller and stats stay as the measured A/B arm
+    (FR_ATTN_STORED_STATS=1 forces them on everywhere)."""
     return _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
                 block_rows, out_dtype)
 
@@ -2319,19 +1841,60 @@ def _bwd_jnp(qkv, scale, bias16, mask, g, num_heads):
     return dqkv, jnp.stack(dscales), jnp.stack(dbiases)
 
 
+def _fwd_cp_impl(qkv, scale, bias16, maskd, num_heads, n_win_per_img,
+                 block_rows, out_dtype, has_mask):
+    return _fwd_pallas(qkv, scale, bias16, maskd if has_mask else None,
+                       num_heads, n_win_per_img, block_rows, out_dtype)
+
+
+_fwd_cp = _make_cp(
+    _fwd_cp_impl, in_dims=(0, None, None, None), out_dims=(0,),
+    rule="b n c, h, i j k, u v w -> b n d", n_static=5)
+
+
+def _bwd_cp_impl(qkv, scale, bias16, maskd, g, num_heads, n_win_per_img,
+                 block_rows, has_mask):
+    return _bwd_pallas(qkv, scale, bias16,
+                       maskd if has_mask else None, g, num_heads,
+                       n_win_per_img, block_rows)
+
+
+_bwd_cp = _make_cp(
+    _bwd_cp_impl, in_dims=(0, None, None, None, 0),
+    out_dims=(0, "sum", "sum"),
+    rule="b n c, h, i j k, u v w, b n d -> b n c, p q, r s t", n_static=4)
+
+
 def _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
          block_rows=1024, out_dtype=None):
+    """Primal dispatch: jnp twin off-TPU, direct pallas under shard_map
+    (operands carry vma — manual mode, shard-local by construction), and
+    the custom_partitioning wrapper everywhere else so GSPMD/pjit keeps
+    the kernel on multi-device meshes (VERDICT r4 #4) instead of shedding
+    it (pallas_call has no SPMD partitioning rule of its own)."""
+    out_dtype = out_dtype or jnp.float32
+    if _interpret() and not _cp_interpret():
+        return _heads_fwd(qkv, scale, bias16, mask, num_heads,
+                          qkv.dtype).astype(out_dtype)
+    if _vma_union(qkv, scale, bias16, *([mask] if mask is not None else [])):
+        return _fwd_pallas(qkv, scale, bias16, mask, num_heads,
+                           n_win_per_img, block_rows, out_dtype)
+    maskd = mask if mask is not None else jnp.zeros((1, 1, 1), jnp.float32)
+    return _fwd_cp(qkv, scale, bias16, maskd, num_heads, n_win_per_img,
+                   block_rows, jnp.dtype(out_dtype), mask is not None)
+
+
+def _fwd_pallas(qkv, scale, bias16, mask, num_heads, n_win_per_img,
+                block_rows, out_dtype):
     B_, N, C3 = qkv.shape
     C = C3 // 3
     compute = qkv.dtype
-    out_dtype = out_dtype or jnp.float32
     has_mask = mask is not None
 
-    if _interpret():
-        return _heads_fwd(qkv, scale, bias16, mask, num_heads,
-                          compute).astype(out_dtype)
-
-    wb = _pick_block(B_, N, n_win_per_img, target_rows=block_rows)
+    batched = _attn_batched()
+    wb = (_pick_block_batched(B_, N, n_win_per_img, num_heads, block_rows)
+          if batched else
+          _pick_block(B_, N, n_win_per_img, target_rows=block_rows))
     grid = (B_ // wb,)
 
     args = [qkv, jnp.reshape(scale, (1, num_heads)), bias16]
@@ -2340,7 +1903,7 @@ def _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
     args = _align_vma(*args)
     vma = _vma_union(*args)
 
-    fwd_body = _fwd_body_batched if _attn_batched() else _fwd_body
+    fwd_body = _fwd_body_batched if batched else _fwd_body
     if has_mask:
         def kernel(q, s, b, m, o):
             fwd_body(q, s, b, m, o, num_heads, compute)
@@ -2363,8 +1926,9 @@ def _fwd(qkv, scale, bias16, num_heads, n_win_per_img, mask,
 
 def _fwd_rule(qkv, scale, bias16, num_heads, n_win_per_img, mask,
               block_rows, out_dtype, stored_stats):
-    if os.environ.get("FR_ATTN_STORED_STATS", "1") == "0":
-        stored_stats = False          # in-model A/B kill-switch
+    env = os.environ.get("FR_ATTN_STORED_STATS")
+    if env in ("0", "1"):
+        stored_stats = env == "1"     # the ONE stats A/B switch
     if stored_stats and not _interpret():
         out, p_st = _fwd_stats(qkv, scale, bias16, num_heads,
                                n_win_per_img, mask, block_rows, out_dtype)
@@ -2385,11 +1949,9 @@ def _bwd_rule(num_heads, n_win_per_img, block_rows, out_dtype, stored_stats,
         dbias = _match_cotangent_vma(dbias, bias16)
         dmask = jnp.zeros_like(mask) if mask is not None else None
         return (dqkv, dscale, dbias, dmask)
-    B_, N, C3 = qkv.shape
-    compute = qkv.dtype
     has_mask = mask is not None
 
-    if _interpret():
+    if _interpret() and not _cp_interpret():
         dqkv, dscale, dbias = _bwd_jnp(qkv, scale, bias16, mask,
                                        g.astype(jnp.float32), num_heads)
         dscale = _match_cotangent_vma(dscale, scale)
@@ -2397,7 +1959,34 @@ def _bwd_rule(num_heads, n_win_per_img, block_rows, out_dtype, stored_stats,
         dmask = jnp.zeros_like(mask) if has_mask else None
         return (dqkv, dscale, dbias, dmask)
 
-    wb = _pick_block(B_, N, n_win_per_img, target_rows=block_rows)
+    if _vma_union(qkv, scale, bias16, g,
+                  *([mask] if has_mask else [])):
+        dqkv, dscale, dbias = _bwd_pallas(qkv, scale, bias16, mask, g,
+                                          num_heads, n_win_per_img,
+                                          block_rows)
+    else:
+        maskd = (mask if has_mask
+                 else jnp.zeros((1, 1, 1), jnp.float32))
+        dqkv, dscale, dbias = _bwd_cp(qkv, scale, bias16, maskd, g,
+                                      num_heads, n_win_per_img, block_rows,
+                                      has_mask)
+    dscale = _match_cotangent_vma(dscale.reshape(num_heads), scale)
+    dbias = _match_cotangent_vma(dbias, bias16)
+    # mask is a compile-time constant (SW-MSA pattern); zero cotangent
+    dmask = jnp.zeros_like(mask) if has_mask else None
+    return (dqkv, dscale, dbias, dmask)
+
+
+def _bwd_pallas(qkv, scale, bias16, mask, g, num_heads, n_win_per_img,
+                block_rows):
+    B_, N, C3 = qkv.shape
+    compute = qkv.dtype
+    has_mask = mask is not None
+
+    batched = _attn_batched()
+    wb = (_pick_block_batched(B_, N, n_win_per_img, num_heads, block_rows)
+          if batched else
+          _pick_block(B_, N, n_win_per_img, target_rows=block_rows))
     grid = (B_ // wb,)
 
     args = [qkv, jnp.reshape(scale, (1, num_heads)), bias16]
@@ -2409,7 +1998,7 @@ def _bwd_rule(num_heads, n_win_per_img, block_rows, out_dtype, stored_stats,
     args = _align_vma(*args)
     vma = _vma_union(*args)
 
-    bwd_body = _bwd_body_batched if _attn_batched() else _bwd_body
+    bwd_body = _bwd_body_batched if batched else _bwd_body
     if has_mask:
         def kernel(q, s, b, m, gg, dq, dsc, db):
             bwd_body(q, s, b, m, gg, dq, dsc, db, num_heads, compute)
@@ -2440,12 +2029,7 @@ def _bwd_rule(num_heads, n_win_per_img, block_rows, out_dtype, stored_stats,
         compiler_params=_ATTN_COMPILER_PARAMS,
         interpret=_interpret(),
     )(*args)
-
-    dscale = _match_cotangent_vma(dscale.reshape(num_heads), scale)
-    dbias = _match_cotangent_vma(dbias, bias16)
-    # mask is a compile-time constant (SW-MSA pattern); zero cotangent
-    dmask = jnp.zeros_like(mask) if has_mask else None
-    return (dqkv, dscale, dbias, dmask)
+    return dqkv, dscale, dbias
 
 
 fused_window_attention.defvjp(_fwd_rule, _bwd_rule)

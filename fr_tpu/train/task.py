@@ -164,12 +164,14 @@ class FaceRecognitionTask:
             results.append((name, ( _time.perf_counter() - t0) / 2, builder))
         results.sort(key=lambda r: r[1])
         winner, t_win, builder = results[0]
-        # Name the FULL semantic trade per lowering, not just BN: the gspmd
-        # program has no SPMD partitioning rule for pallas_call, so it sheds
-        # every fused Pallas kernel (jnp attention path, XLA-only grouped
-        # sampling — train/step.py make_gspmd_train_step) (VERDICT r3 weak #6).
-        semantics = (" (sync-BN semantics; fused Pallas kernels: OFF — "
-                     "gspmd lowering has no pallas_call partitioning rule)"
+        # Name the FULL semantic trade per lowering, not just BN. Since
+        # round 5 the fused attention kernels partition under gspmd via
+        # custom_partitioning (ops/fused_window_attn._make_cp) — only the
+        # grouped sparse-row SAMPLING kernels remain XLA-path under gspmd
+        # (train/step.py make_gspmd_train_step block>1 branch).
+        semantics = (" (sync-BN semantics; fused attention kernels: on "
+                     "via custom_partitioning; grouped-sampling kernels: "
+                     "XLA path)"
                      if winner == "gspmd"
                      else " (local BN, reference parity; fused Pallas "
                      "kernels: on)")

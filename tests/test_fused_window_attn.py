@@ -455,7 +455,7 @@ def test_spatial_matches_windowed(shift):
     """fused_window_attention_spatial == window_partition → windows math →
     window_reverse, values and grads."""
     from fr_tpu.models.swin_common import window_partition, window_reverse
-    from fr_tpu.ops.fused_window_attn import fused_window_attention_spatial
+    from fr_tpu.ops.fused_window_attn_variants import fused_window_attention_spatial
 
     B, H, W, C, h, ws = 4, 12, 12, 64, 4, 6
     N = ws * ws
@@ -587,7 +587,7 @@ def test_entry_fused_interpret_matches_chain(B_, N, C, h, nW, hg, masked,
     """The entry-fused packed kernel's REAL program (in-kernel qkv GEMM,
     dx/dW/dbias chain, grid-step accumulation) under the Pallas
     interpreter vs the qkv-projection + unfused-attention chain."""
-    from fr_tpu.ops.fused_window_attn import fused_window_attention_packed_qkv
+    from fr_tpu.ops.fused_window_attn_variants import fused_window_attention_packed_qkv
 
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.standard_normal((B_, N, C)), dt)
@@ -620,7 +620,7 @@ def test_entry_fused_interpret_matches_chain(B_, N, C, h, nW, hg, masked,
 def test_entry_fused_out_dtype_and_fallback():
     """out_dtype honoured by the interpret program AND the off-TPU jnp
     fallback (interpret=False on CPU) returns the same values."""
-    from fr_tpu.ops.fused_window_attn import fused_window_attention_packed_qkv
+    from fr_tpu.ops.fused_window_attn_variants import fused_window_attention_packed_qkv
 
     B_, N, C, h, nW = 16, 36, 128, 4, 4
     rng = np.random.default_rng(5)
@@ -659,7 +659,7 @@ def test_entry_fused_allkernel_bwd_interpret(monkeypatch):
     """The all-in-kernel backward (dx/dW/dbias inside the kernel, grid-step
     accumulation) is kept behind _PKX_HYBRID_BWD=False as a measured
     negative — keep its real program covered under the interpreter."""
-    import fr_tpu.ops.fused_window_attn as fwa
+    import fr_tpu.ops.fused_window_attn_variants as fwa
 
     monkeypatch.setattr(fwa, "_PKX_HYBRID_BWD", False)
     B_, N, C, h, nW = 32, 36, 128, 4, 16
@@ -687,13 +687,13 @@ def test_entry_fused_allkernel_bwd_interpret(monkeypatch):
 def test_inmodel_stats_and_remat_defaults(monkeypatch):
     """The MODEL defaults to the recompute backward (stored-stats nets
     zero-to-negative under nn.remat — swin_common.attention_stats_inmodel
-    docstring); FR_ATTN_STORED_STATS=1 opts in and turns remat off so the
-    stats forward runs once; FR_ATTN_REMAT overrides remat independently."""
+    docstring); FR_ATTN_STORED_STATS is the ONE in-model A/B switch: =1
+    opts into stats and turns remat off so the stats forward runs once
+    (the former independent FR_ATTN_REMAT knob is retired)."""
     from fr_tpu.models.swin_common import (attention_remat_default,
                                            attention_stats_inmodel)
 
     monkeypatch.delenv("FR_ATTN_STORED_STATS", raising=False)
-    monkeypatch.delenv("FR_ATTN_REMAT", raising=False)
     assert not attention_stats_inmodel()
     assert attention_remat_default()
 
@@ -701,8 +701,6 @@ def test_inmodel_stats_and_remat_defaults(monkeypatch):
     assert attention_stats_inmodel()
     assert not attention_remat_default()
 
-    monkeypatch.setenv("FR_ATTN_REMAT", "1")
-    assert attention_remat_default()
-    monkeypatch.setenv("FR_ATTN_REMAT", "0")
     monkeypatch.setenv("FR_ATTN_STORED_STATS", "0")
-    assert not attention_remat_default()
+    assert not attention_stats_inmodel()
+    assert attention_remat_default()
