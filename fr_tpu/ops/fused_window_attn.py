@@ -499,15 +499,18 @@ def _cp_interpret() -> bool:
     return os.environ.get("FR_ATTN_CP_INTERPRET", "0") == "1"
 
 
-def _make_cp(fn, in_dims, out_dims, rule, n_static):
-    """custom_partitioning wrapper for a window-local kernel entry.
+def _make_cp(fn, in_dims, out_dims, rule, n_static, factor_sizes=None):
+    """custom_partitioning wrapper for a shard-local kernel entry.
 
     in_dims / out_dims: per-operand shard dim (int), None for replicated,
     or "sum" (outputs only) for shard-local partials that must be psummed
-    over the window axis' mesh axes. `rule` is the shardy SdyShardingRule
-    einsum string; `n_static` trailing args are static (hashable config).
-    The partition lower_fn calls `fn` per shard — the pallas grid/block
-    logic sees per-shard shapes, exactly as under shard_map."""
+    over the sharded axis' mesh axes. `rule` is the shardy SdyShardingRule
+    einsum string (factor_sizes supplies sizes for factors that only
+    appear inside compound dimensions); `n_static` trailing args are
+    static (hashable config). The partition lower_fn calls `fn` per shard
+    — the pallas grid/block logic sees per-shard shapes, exactly as under
+    shard_map. Also used by ops/sparse_rows for the class-sharded grouped
+    gather/update kernels."""
     cp = custom_partitioning(
         fn, static_argnums=tuple(range(len(in_dims), len(in_dims)
                                        + n_static)))
@@ -559,7 +562,7 @@ def _make_cp(fn, in_dims, out_dims, rule, n_static):
         return mesh, lower, _outs(mesh, d0, result_shape), arg_sh
 
     cp.def_partition(partition, infer_sharding_from_operands=infer,
-                     sharding_rule=rule)
+                     sharding_rule=rule, **(factor_sizes or {}))
     return cp
 
 

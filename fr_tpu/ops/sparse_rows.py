@@ -227,3 +227,119 @@ def grouped_update(optimizer: str, conf, weight, slots, gidx, grad_rows,
                                     conf.wd, b1, b2, conf.eps, count, block,
                                     interpret=interpret)
     raise ValueError(optimizer)
+
+
+# ---------------------------------------------------------------------------
+# GSPMD partitioning (round 5, VERDICT r4 #4): class-sharded grouped
+# gather/update for the pjit lowering.
+# ---------------------------------------------------------------------------
+#
+# Under gspmd the head table is sharded P('model', None) and the per-shard
+# group indices arrive as (M, num_sample_groups) rows. These kernels are
+# shard-local along the class axis by construction (each shard's groups
+# index its own rows), so a custom_partitioning wrapper with compound-
+# factor sharding rules — weight dim0 = (m l), output dim0 = (m s b) —
+# lets GSPMD run the SAME pallas kernels per shard instead of the XLA
+# take_along_axis/scatter path the pjit program previously kept
+# (train/step.py make_gspmd_train_step). On a single device JAX inlines
+# the wrapper (the kernels run directly, input_output_aliases intact); on
+# a CPU mesh the per-shard lowering runs the jnp twins, which partition-
+# tests the rules without TPU hardware.
+
+def _local_group_flat(gidx2d: jnp.ndarray, nl: int, block: int
+                      ) -> jnp.ndarray:
+    """(m, s) per-shard-row LOCAL group ids → (m·s,) group ids into the
+    (m·nl, D) table slice this function sees (global table OR one shard —
+    the math is scale-invariant, which is what makes the wrapper's
+    lower_fn identical to the unpartitioned fallback)."""
+    m = gidx2d.shape[0]
+    ngl = nl // block
+    return (gidx2d + jnp.arange(m, dtype=gidx2d.dtype)[:, None] * ngl
+            ).reshape(-1)
+
+
+def _sh_gather_impl(weight, gidx2d, block):
+    m = gidx2d.shape[0]
+    nl = weight.shape[0] // m
+    return grouped_gather(weight, _local_group_flat(gidx2d, nl, block),
+                          block)
+
+
+def _sh_sgd_impl(weight, mslot, gidx2d, grad_rows, lr, block, wd, mom):
+    m = gidx2d.shape[0]
+    nl = weight.shape[0] // m
+    gflat = _local_group_flat(gidx2d, nl, block)
+    new_w, slots = grouped_update_sgd(weight, {"momentum": mslot}, gflat,
+                                      grad_rows, lr, wd, mom, block)
+    return new_w, slots["momentum"]
+
+
+def _sh_adamw_impl(weight, ea, eas, gidx2d, grad_rows, lr, count, block,
+                   wd, b1, b2, eps):
+    m = gidx2d.shape[0]
+    nl = weight.shape[0] // m
+    gflat = _local_group_flat(gidx2d, nl, block)
+    new_w, slots = grouped_update_adamw(
+        weight, {"exp_avg": ea, "exp_avg_sq": eas}, gflat, grad_rows, lr,
+        wd, b1, b2, eps, count, block)
+    return new_w, slots["exp_avg"], slots["exp_avg_sq"]
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_cp(nl: int, block: int):
+    from fr_tpu.ops.fused_window_attn import _make_cp
+    return _make_cp(
+        _sh_gather_impl, in_dims=(0, 0), out_dims=(0,),
+        rule="(m l) d, m s -> (m s b) d", n_static=1,
+        factor_sizes={"l": nl, "b": block})
+
+
+@functools.lru_cache(maxsize=None)
+def _sgd_cp(nl: int, block: int):
+    from fr_tpu.ops.fused_window_attn import _make_cp
+    return _make_cp(
+        _sh_sgd_impl, in_dims=(0, 0, 0, 0, None), out_dims=(0, 0),
+        rule="(m l) d, (m l) d, m s, (m s b) d, -> (m l) d, (m l) d",
+        n_static=3, factor_sizes={"l": nl, "b": block})
+
+
+@functools.lru_cache(maxsize=None)
+def _adamw_cp(nl: int, block: int):
+    from fr_tpu.ops.fused_window_attn import _make_cp
+    return _make_cp(
+        _sh_adamw_impl, in_dims=(0, 0, 0, 0, 0, None, None),
+        out_dims=(0, 0, 0),
+        rule="(m l) d, (m l) d, (m l) d, m s, (m s b) d, , "
+             "-> (m l) d, (m l) d, (m l) d",
+        n_static=5, factor_sizes={"l": nl, "b": block})
+
+
+def sharded_grouped_gather(weight: jnp.ndarray, gidx2d: jnp.ndarray,
+                           block: int) -> jnp.ndarray:
+    """GSPMD grouped gather: weight (M·nl, D) sharded P('model', None),
+    gidx2d (M, s) LOCAL group ids per shard row → (M·s·block, D) sharded
+    on dim 0."""
+    nl = weight.shape[0] // gidx2d.shape[0]
+    return _gather_cp(nl, block)(weight, gidx2d, block)
+
+
+def sharded_grouped_update(optimizer: str, conf, weight, slots, gidx2d,
+                           grad_rows, lr, count, block: int):
+    """GSPMD grouped in-place update (dispatch mirror of grouped_update,
+    class-sharded operands)."""
+    nl = weight.shape[0] // gidx2d.shape[0]
+    lr = jnp.asarray(lr, jnp.float32)
+    if optimizer == "SGD":
+        new_w, new_m = _sgd_cp(nl, block)(
+            weight, slots["momentum"], gidx2d,
+            grad_rows.astype(jnp.float32), lr, block, conf.wd, conf.mom)
+        return new_w, {"momentum": new_m}
+    if optimizer == "AdamW":
+        b1, b2 = conf.betas
+        new_w, new_m, new_v = _adamw_cp(nl, block)(
+            weight, slots["exp_avg"], slots["exp_avg_sq"], gidx2d,
+            grad_rows.astype(jnp.float32), lr,
+            jnp.asarray(count, jnp.int32), block, conf.wd, b1, b2,
+            conf.eps)
+        return new_w, {"exp_avg": new_m, "exp_avg_sq": new_v}
+    raise ValueError(optimizer)

@@ -319,12 +319,15 @@ def make_gspmd_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
         if pfc_cfg.sampling:
             k0 = stream_key(key, STREAM_SAMPLE, state.step)
             block = pfc_cfg.sample_block
+            gidx2d = None
             if block > 1:
                 # block-aligned sampling, same group RNG stream as the
-                # shard_map path (sample_groups); XLA-only lowering here —
-                # pallas has no SPMD partitioning rule, so GSPMD keeps the
-                # take_along_axis/grouped-scatter path on the expanded rows.
-                # Masks at group granularity (no C_pad-sized arrays).
+                # shard_map path (sample_groups). Since round 5 the
+                # grouped gather/update run the SAME pallas kernels as the
+                # shard_map path via their custom_partitioning wrappers
+                # (ops/sparse_rows.sharded_grouped_*, class-sharded over
+                # 'model'); masks stay at group granularity (no
+                # C_pad-sized arrays).
                 ngl = num_local // block
                 gpos = (jnp.zeros((M * ngl,), jnp.int32)
                         .at[labels // block].max(1) > 0).reshape(M, ngl)
@@ -355,10 +358,17 @@ def make_gspmd_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
                 idx2d = jnp.sort(idx2d, axis=1)
             idx2d = constrain(idx2d, P(MODEL_AXIS, None))
 
-            w3 = state.pfc.weight.reshape(M, num_local, -1)
-            w_act = jnp.take_along_axis(w3, idx2d[:, :, None], axis=1)
-            w_act = constrain(w_act, P(MODEL_AXIS, None, None))
-            w_act = w_act.reshape(M * num_sample, -1)
+            if gidx2d is not None:
+                from fr_tpu.ops.sparse_rows import sharded_grouped_gather
+                gidx2d = constrain(gidx2d, P(MODEL_AXIS, None))
+                w_act = sharded_grouped_gather(state.pfc.weight, gidx2d,
+                                               block)
+                w_act = constrain(w_act, P(MODEL_AXIS, None))
+            else:
+                w3 = state.pfc.weight.reshape(M, num_local, -1)
+                w_act = jnp.take_along_axis(w3, idx2d[:, :, None], axis=1)
+                w_act = constrain(w_act, P(MODEL_AXIS, None, None))
+                w_act = w_act.reshape(M * num_sample, -1)
             # global row id of each sampled column — arithmetic validity
             # (no C_pad-sized mask gather)
             col_valid = ((jnp.arange(M)[:, None] * num_local + idx2d)
@@ -397,7 +407,12 @@ def make_gspmd_train_step(conf, mesh: Mesh, encoder, pfc_cfg: PFCConfig,
             optimizer, conf, state.params, g_enc, state.opt_slots, lr, count)
 
         head_count = state.pfc.count + 1
-        if pfc_cfg.sampling:
+        if pfc_cfg.sampling and pfc_cfg.sample_block > 1:
+            from fr_tpu.ops.sparse_rows import sharded_grouped_update
+            new_w, new_slots = sharded_grouped_update(
+                optimizer, conf, state.pfc.weight, state.pfc.slots, gidx2d,
+                g_rows, lr, head_count, pfc_cfg.sample_block)
+        elif pfc_cfg.sampling:
             from fr_tpu.train.optim import pfc_row_update_grouped
             new_w, new_slots = pfc_row_update_grouped(
                 optimizer, conf, state.pfc.weight, state.pfc.slots, idx2d,

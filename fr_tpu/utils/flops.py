@@ -149,9 +149,9 @@ _F32_HIGHEST_PASSES = 6.0
 # fix):
 #   AlterNet50  8.8 ms  — ROUND4_NOTES "Fresh AlterNet50 decomposition"
 #                         (packed-lane kernel, stages s2/s3/s4)
-#   Swin50     14.67 ms — ROUND4_NOTES "Swin50 decomposition" (per-head
-#                         kernel at N=49: sw3 4×(0.52+0.99), sw4
-#                         10×(0.26+0.60))
+#   Swin50     11.76 ms — ROUND5_NOTES fresh decomposition after the
+#                         batched kernel bodies landed (sw3 4×(0.46+0.84),
+#                         sw4 10×(~0.19+0.42); was 14.67 in round 4)
 #   EffiAlter_m 2.0 ms  — ROUND3_NOTES EffiAlter decomposition ("attention
 #                         ~2 (solved)"; its blocks are all N=49)
 # Families with no attention (ResNet*) have floor 0 — their family floor
@@ -164,7 +164,7 @@ _F32_HIGHEST_PASSES = 6.0
 
 ATTN_KERNEL_FLOOR_MS = {
     "AlterNet50": 8.8,
-    "Swin50": 14.67,
+    "Swin50": 11.76,
     "EffiAlter_m": 2.0,
 }
 _ATTN_FLOOR_BATCH = 128  # batch size the table was measured at
