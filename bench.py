@@ -408,8 +408,13 @@ def run_workload():
     step_floor_ms = None
     vs_family_floor = None
     if achievable_s:
-        from fr_tpu.utils.flops import family_attn_floor_seconds
-        step_floor_ms = (achievable_s
+        from fr_tpu.utils.flops import (family_attn_floor_seconds,
+                                        pfc_head_floor_seconds)
+        head_s = pfc_head_floor_seconds(
+            batch, pfc_cfg.num_sample if pfc_cfg.sampling
+            else pfc_cfg.num_classes_padded,
+            conf.emd_size, conf.optimizer_name)
+        step_floor_ms = (achievable_s + head_s
                          + family_attn_floor_seconds(network, batch)) * 1e3
         vs_family_floor = step_floor_ms / (batch / imgs_per_sec * 1e3)
 

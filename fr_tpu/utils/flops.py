@@ -177,6 +177,27 @@ def family_attn_floor_seconds(network: str, batch: int) -> float:
     return ms * 1e-3 * batch / _ATTN_FLOOR_BATCH
 
 
+def pfc_head_floor_seconds(batch: int, num_sample: int, emb_dim: int,
+                           optimizer: str,
+                           hbm_gbps: float = 819.0,
+                           peak_flops: float = 197e12) -> float:
+    """HBM+MXU floor of the sampled PartialFC head per step: the sampled
+    rows must be gathered (read + write S·D f32), the logits GEMM runs
+    fwd + 2 backward dots (K = D = 512 → full MXU occupancy), and the
+    sampled-row optimizer update reads/writes weight + slots + grad
+    (SGD: w,m,g in / w,m out; AdamW: w,m,v,g in / w,m,v out). Softmax/CE
+    elementwise work counts as zero, consistent with the MXU-floor
+    philosophy of achievable_mxu_seconds. At WebFace42M scale
+    (S≈206k, D=512) this is ~4.4 ms of a measured ~10.3 ms head — the
+    ROUND5_NOTES webface decomposition derives the gap."""
+    S, D = num_sample, emb_dim
+    row_bytes = S * D * 4
+    gather = 2 * row_bytes
+    update = (7 if optimizer == "AdamW" else 5) * row_bytes
+    gemm = 3 * 2.0 * batch * S * D
+    return (gather + update) / (hbm_gbps * 1e9) + gemm / peak_flops
+
+
 def _eqn_dtype_penalty(eqn) -> float:
     if eqn.invars[0].aval.dtype == jnp.bfloat16:
         return 1.0
