@@ -64,7 +64,14 @@ def pick_head_group(num_heads: int, n_tokens: int) -> int:
     outright (the unrolled group loop stacks each group's score tensors
     in Mosaic's scoped VMEM: sw3 g2/g4 = 2.86/1.53 ms) and the grid-axis
     variant losing too. So: pack when heads·N ≤ 288, per-head otherwise;
-    the head-grouped machinery stays as a tested, documented negative."""
+    the head-grouped machinery stays as a tested, documented negative.
+
+    Round 5 re-closed the cutoff from the other side: the BATCHED
+    per-head bodies (the new per-head default, ROUND5_NOTES) still lose
+    to the full pack at every AlterNet shape — s2 f+b 1.95 vs packed
+    1.21, s2+mask 1.98 vs 1.20, s3 0.90 vs 0.54, s3+mask 0.92 vs
+    0.60 ms — while beating everything at the N=49 shapes. Both sides of
+    the rule now rest on current-generation measurements."""
     if num_heads * n_tokens <= PACKED_LANE_CAP:
         return num_heads
     return 0
