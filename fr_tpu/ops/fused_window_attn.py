@@ -313,11 +313,15 @@ def _pick_block_batched(n_windows: int, n_tokens: int, n_win_per_img: int,
     """Block pick for the batched bodies: same divisibility rules as
     _pick_block, with the window count additionally clamped so the
     batched backward's live set — ~8 score-shaped f32 tensors of
-    (heads·wb, N, pad128(N)) plus the hd-shaped stacks — fits in ~24 MB
-    of scoped VMEM (the 64 MB kernel budget minus pipelining headroom)."""
+    (heads·wb, N, pad128(N)) plus the hd-shaped stacks — fits in the
+    scoped-VMEM budget (default 24 MB of the 64 MB kernel limit, leaving
+    pipelining headroom; FR_ATTN_BATCHED_VMEM_MB sweeps it — the round-5
+    16/24/48 MB A/B measured all three within run noise at sw3/sw4, a
+    flat optimum; 24 keeps double-buffering headroom, ROUND5_NOTES)."""
+    budget_mb = int(os.environ.get("FR_ATTN_BATCHED_VMEM_MB", "24"))
     pad_n = -(-n_tokens // 128) * 128
     per_window = num_heads * n_tokens * pad_n * 4 * 8
-    allowed = max(1, (24 * 1024 * 1024) // per_window)
+    allowed = max(1, (budget_mb * 1024 * 1024) // per_window)
     return _pick_block(n_windows, n_tokens, n_win_per_img,
                        target_rows=min(target_rows, allowed * n_tokens))
 

@@ -436,6 +436,44 @@ def test_pk_block_pick_caps_vmem():
     assert _pk_pick_block(512, 36, 4, 256, 8, 1024) == 16
 
 
+def test_batched_block_pick_caps_vmem():
+    """The batched bodies keep EVERY head's score tensors live at once
+    (ADVICE r4 low #3), so _pick_block_batched clamps the window block so
+    ~8 live (heads·wb, N, pad128(N)) f32 tensors stay inside the budget
+    (default 24 MB; FR_ATTN_BATCHED_VMEM_MB sweeps it)."""
+    from fr_tpu.ops.fused_window_attn import (_pick_block,
+                                              _pick_block_batched)
+
+    def live_bytes(wb, heads, N):
+        pad = -(-N // 128) * 128
+        return heads * wb * N * pad * 4 * 8
+
+    # sw3 (W=512, N=49, nW=4, heads=8): unclamped target says 16 windows
+    assert _pick_block(512, 49, 4, target_rows=1024) == 16
+    wb = _pick_block_batched(512, 49, 4, 8, 1024)
+    assert wb % 4 == 0 and 512 % wb == 0
+    assert live_bytes(wb, 8, 49) <= 24 * 1024 * 1024
+    # sw4 (W=128, N=49, nW=1, heads=16)
+    wb4 = _pick_block_batched(128, 49, 1, 16, 1024)
+    assert 128 % wb4 == 0
+    assert live_bytes(wb4, 16, 49) <= 24 * 1024 * 1024
+    # tiny shapes are not clamped below the plain pick
+    assert (_pick_block_batched(64, 9, 1, 2, 1024)
+            == _pick_block(64, 9, 1, target_rows=1024))
+
+
+def test_pfc_head_floor():
+    """pfc_head_floor_seconds prices the gather + sampled-row update HBM
+    bytes and the logits GEMM MACs (ROUND5_NOTES webface audit)."""
+    from fr_tpu.utils.flops import pfc_head_floor_seconds
+
+    s_sgd = pfc_head_floor_seconds(256, 205952, 512, "SGD")
+    s_adamw = pfc_head_floor_seconds(256, 205952, 512, "AdamW")
+    assert 0.003 < s_sgd < 0.006          # ~4.4 ms at WebFace42M scale
+    assert s_adamw > s_sgd                # two extra slot arrays
+    assert pfc_head_floor_seconds(256, 26007, 512, "SGD") < 1e-3
+
+
 def test_pk_constants_structure():
     from fr_tpu.ops.fused_window_attn import _pk_constants
 
