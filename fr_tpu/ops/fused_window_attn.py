@@ -26,8 +26,23 @@ eps-guarded l2_normalize (models/common.py), bf16 MXU inputs with f32
 accumulation when mixed precision, f32 softmax, additive -100 SW-MSA mask
 (reference nets/AlterNet_SwinV2_FAN.py:375-397).
 
-shard_map-compatible via the same vma plumbing as fused_pfc.py; off-TPU
-the kernels run in interpret mode so CPU meshes exercise identical code.
+Two kernel families ship, dispatched by measured shape rule
+(swin_common.pick_head_group): the PACKED-lane kernel at the AlterNet
+shapes (heads·N ≤ 288 — all heads' scores share the lane dim via
+compile-time segment matrices) and the per-head kernel with BATCHED
+bodies at the N=49 shapes (every head's tensors stacked on axis 0 — one
+fixed op sequence instead of num_heads unrolled VPU chains; round 5,
+wins fwd+bwd at every probed shape). Measured-negative designs live in
+fused_window_attn_variants.py. Two orthogonal A/B env switches:
+FR_ATTN_BATCHED (0 = unrolled bodies) and FR_ATTN_STORED_STATS
+(1/0 force the stats/recompute backward everywhere).
+
+shard_map-compatible via the same vma plumbing as fused_pfc.py; under
+GSPMD/pjit the kernels partition over their window axis via
+jax.experimental.custom_partitioning (_make_cp — no kernel shedding on
+multi-device meshes); off-TPU the kernels run in interpret mode so CPU
+meshes exercise identical code (FR_ATTN_CP_INTERPRET=1 additionally
+routes CPU calls through the partition wrappers for GSPMD testing).
 """
 
 from __future__ import annotations
