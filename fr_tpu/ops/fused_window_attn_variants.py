@@ -388,7 +388,8 @@ fused_window_attention_spatial.defvjp(_sp_fwd_rule, _sp_bwd_rule)
 # dispatch (pick_head_group returns full-pack or per-head only); it
 # replaces the unrolled loop whenever a caller explicitly requests an
 # aligned head_group, and stays as tested machinery for future shapes.
-_PK_GROUP_GRID = True
+# (the live module's _pkg_use gate decides when these kernels engage; the
+# historical _PK_GROUP_GRID constant lived here before the round-5 split)
 
 
 def _pkg_fwd_body(q_ref, k_ref, v_ref, scalep_ref, biasp_ref, mask_ref,
@@ -456,10 +457,6 @@ def _pkg_specs(wb, N, C, ng, hg, has_mask, nW):
         specs.append(const((nW, N, gN)))
     specs += [const((gN, Cg)), const((Cg, Cg)), const((gN, hg))]
     return specs
-
-
-def _pkg_use(ng, Cg):
-    return _PK_GROUP_GRID and ng > 1 and Cg % 128 == 0
 
 
 def _pkg_fwd(qkv, scalep, biasp, maskp, num_heads, n_win_per_img,
